@@ -1,0 +1,85 @@
+"""Per-point normals & curvature from 27-voxel-neighborhood covariance.
+
+Reference semantics (``stage_data.py:79-101``, ``test_region_grow.py:141-163``):
+for every equalized point, gather ALL unequalized points whose voxel lies in
+the 3x3x3 neighborhood of the point's voxel, form the covariance of their xyz,
+take the singular vector of the smallest singular value as the (unoriented,
+per-component absolute) normal, and ``S2 / (S0+S1+S2)`` as curvature, finally
+normalizing curvature by its per-room max.
+
+The reference runs an O(N * 27 * k) Python loop with per-point 3x3 SVDs; here
+the voxel moments (count / sum / outer-product sum) are accumulated once per
+unique voxel with ``np.bincount``, the 27-neighborhood reduce is 27 vectorized
+table lookups, and the 3x3 SVDs are one batched ``np.linalg.svd``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from .voxel import (NEIGHBOR_OFFSETS_27, build_voxel_hash, pack_voxels,
+                    voxel_coords)
+
+
+def voxel_moments(xyz: np.ndarray, resolution: float):
+    """Accumulate zeroth/first/second moments of xyz per unique voxel.
+
+    Returns ``(hash, counts (M,), sums (M,3), outers (M,3,3))``.
+    """
+    xyz = np.asarray(xyz, dtype=np.float64)[:, :3]
+    h = build_voxel_hash(xyz, resolution)
+    keys, _, _ = pack_voxels(voxel_coords(xyz, resolution), h.origin, h.dims)
+    slot = h.lookup(keys)  # every point's own voxel always exists
+    m = len(h.sorted_keys)
+    counts = np.bincount(slot, minlength=m).astype(np.float64)
+    sums = np.stack(
+        [np.bincount(slot, weights=xyz[:, a], minlength=m) for a in range(3)],
+        axis=1,
+    )
+    outers = np.empty((m, 3, 3), dtype=np.float64)
+    for a in range(3):
+        for b in range(a, 3):
+            o = np.bincount(slot, weights=xyz[:, a] * xyz[:, b], minlength=m)
+            outers[:, a, b] = o
+            outers[:, b, a] = o
+    return h, counts, sums, outers
+
+
+def estimate_normals_curvature(
+    equalized_xyz: np.ndarray,
+    unequalized_xyz: np.ndarray,
+    resolution: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Normals (|components|) and max-normalized curvature per equalized point."""
+    h, counts, sums, outers = voxel_moments(unequalized_xyz, resolution)
+    vox = voxel_coords(equalized_xyz, resolution)
+
+    n = len(vox)
+    acc_n = np.zeros(n, dtype=np.float64)
+    acc_s = np.zeros((n, 3), dtype=np.float64)
+    acc_o = np.zeros((n, 3, 3), dtype=np.float64)
+    for off in NEIGHBOR_OFFSETS_27:
+        keys, _, _ = pack_voxels(vox + off, h.origin, h.dims)
+        slot = h.lookup(keys)
+        hit = slot >= 0
+        s = slot[hit]
+        acc_n[hit] += counts[s]
+        acc_s[hit] += sums[s]
+        acc_o[hit] += outers[s]
+
+    # every point's own voxel is occupied, so acc_n >= 1
+    inv = 1.0 / acc_n
+    mean = acc_s * inv[:, None]
+    cov = acc_o * inv[:, None, None] - mean[:, :, None] * mean[:, None, :]
+
+    _, s_vals, vh = np.linalg.svd(cov)
+    normals = np.abs(vh[:, 2, :])
+    denom = s_vals.sum(axis=1)
+    curvature = np.abs(np.divide(s_vals[:, 2], denom,
+                                 out=np.zeros(n), where=denom > 0))
+    cmax = curvature.max() if n else 0.0
+    if cmax > 0:
+        curvature = curvature / cmax
+    return normals.astype(np.float64), curvature.astype(np.float64)
