@@ -1,0 +1,99 @@
+"""Simulator invariants + trainer smoke (staged H5 -> loss decreases)."""
+
+import numpy as np
+import pytest
+
+from learn_region_grow_tpu.core import prepare_room
+from learn_region_grow_tpu.data.simulator import (_Accumulator,
+                                                  apply_seed_augmentation,
+                                                  simulate_room, stage_rooms)
+from learn_region_grow_tpu.train.trainer import (SampleSet, TrainConfig,
+                                                 make_train_step)
+from learn_region_grow_tpu.utils.io import (load_staged_h5, save_staged_h5)
+
+
+@pytest.fixture(scope="module")
+def staged(tiny_rooms):
+    rooms = [r[:, :6] for r in tiny_rooms]
+    objs = [r[:, 6] for r in tiny_rooms]
+    clss = [r[:, 7] for r in tiny_rooms]
+    return stage_rooms(rooms, objs, clss, resolution=0.1, seed=0)
+
+
+def test_simulator_produces_samples(staged):
+    assert staged.num_samples() > 10
+    assert staged.points.shape[1] == 13
+    assert len(staged.count) == len(staged.neighbor_count)
+    assert staged.points.shape[0] == staged.count.sum()
+    assert staged.neighbor_points.shape[0] == staged.neighbor_count.sum()
+    assert staged.add.shape[0] == staged.neighbor_count.sum()
+    assert staged.remove.shape[0] == staged.count.sum()
+    assert (staged.count <= 1024).all() and (staged.neighbor_count <= 1024).all()
+    assert (staged.complete >= 0).all() and (staged.complete <= 1).all()
+    # labels are binary and both classes appear somewhere
+    assert set(np.unique(staged.add)) <= {0, 1}
+    assert staged.add.sum() > 0 and staged.remove.sum() >= 0
+
+
+def test_samples_recentered(staged):
+    """Per-sample xy and feature medians are ~0 after recentering."""
+    pts, _, _, _ = staged.split()
+    for p in pts[:20]:
+        med = np.median(p[:, :2], axis=0)
+        np.testing.assert_allclose(med, 0, atol=1e-5)
+        med_f = np.median(p[:, 6:], axis=0)
+        np.testing.assert_allclose(med_f, 0, atol=1e-5)
+
+
+def test_simulation_covers_room(tiny_rooms):
+    """Every instance terminates; visited covers most points."""
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    rng = np.random.RandomState(0)
+    acc = _Accumulator()
+    simulate_room(rf, rng, acc)
+    assert len(acc.steps) >= 1
+    assert all(s < 500 for s in acc.steps)
+
+
+def test_seed_augmentation_reference_semantics():
+    pts = np.arange(24, dtype=np.float64).reshape(4, 6)
+    a1 = apply_seed_augmentation(pts, 1)  # swap xy
+    np.testing.assert_array_equal(a1[:, 0], pts[:, 1])
+    np.testing.assert_array_equal(a1[:, 1], pts[:, 0])
+    a2 = apply_seed_augmentation(pts, 2)  # flip x (2/2 % 2 == 1)
+    np.testing.assert_array_equal(a2[:, 0], -pts[:, 0])
+    a3 = apply_seed_augmentation(pts, 3)  # swap only (3/2=1.5 -> no flip)
+    np.testing.assert_array_equal(a3[:, 0], pts[:, 1])
+    a4 = apply_seed_augmentation(pts, 4)  # flip y only (4/4 == 1)
+    np.testing.assert_array_equal(a4[:, 1], -pts[:, 1])
+    np.testing.assert_array_equal(a4[:, 0], pts[:, 0])
+
+
+def test_staged_h5_roundtrip(staged, tmp_path):
+    p = str(tmp_path / "staged.h5")
+    save_staged_h5(p, staged)
+    loaded = load_staged_h5(p)
+    np.testing.assert_allclose(loaded.points, staged.points.astype(np.float32),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(loaded.count, staged.count)
+    np.testing.assert_array_equal(loaded.add, staged.add)
+
+
+def test_train_step_learns(staged):
+    """A few steps on real staged samples must reduce the loss."""
+    import jax
+    cfg = TrainConfig(batch_size=8, num_inlier=128, num_neighbor=128,
+                      multiseed=0)
+    ss = SampleSet(*staged.split())
+    assert len(ss) >= 8
+    init_fn, train_step, _ = make_train_step(cfg)
+    params, opt = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    losses = []
+    for i in range(12):
+        idx = rng.choice(len(ss), 8, replace=False)
+        batch = ss.batch(idx, 128, 128, rng)
+        params, opt, m = train_step(params, opt, batch)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
