@@ -1,0 +1,412 @@
+"""Batched greedy region growing — the TPU restructuring of the flagship loop.
+
+The reference (``test_region_grow.py:183-316``) runs the grow loop on the
+host, one region at a time, with a batch-1 ``sess.run`` per step and O(N)
+Python voxel-set bookkeeping around it. Here the ENTIRE loop is fixed-shape
+masked device state advanced by ``jax.lax.while_loop``:
+
+* one **lane** = one growing region in one room (padded to a static room
+  size P); many lanes advance together in a single compiled program;
+* each iteration fuses: bbox neighbor masking, reference-semantics masked
+  resampling to (num_inlier, num_neighbor) points, inlier-median recentering,
+  the LrgNet forward, Bernoulli add/remove sampling, scatter mask updates and
+  stuck/termination bookkeeping;
+* rooms are independent in the reference, so batching one active seed per
+  room preserves its sequential-visited semantics exactly while filling the
+  MXU with (lanes x 512 x C) matmuls.
+
+Termination reasons match the reference: ``noneighbor`` (no candidates),
+``noexpand`` (no add fired), ``stuck`` (bbox failed to grow twice).
+Per-decision cumulative log-prob is tracked for the beam-search /
+random-restart ``ml`` scoring variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.features import RoomFeatures
+from ..models import lrgnet
+
+REASON_GROWING = 0
+REASON_NONEIGHBOR = 1
+REASON_NOEXPAND = 2
+REASON_STUCK = 3
+REASON_MAXSTEPS = 4
+REASON_NAMES = {1: "noneighbor", 2: "noexpand", 3: "stuck", 4: "maxsteps"}
+
+
+@dataclasses.dataclass(frozen=True)
+class GrowConfig:
+    num_inlier: int = 512
+    num_neighbor: int = 512
+    feature_size: int = 13
+    resolution: float = 0.1
+    cluster_threshold: int = 10
+    max_steps: int = 500
+    seed: int = 0
+
+
+class LaneState(NamedTuple):
+    """Per-lane device state; all arrays fixed-shape (lane-batched later)."""
+
+    current: jnp.ndarray    # (P,) bool
+    min_dims: jnp.ndarray   # (3,) int32
+    max_dims: jnp.ndarray   # (3,) int32
+    seq_min: jnp.ndarray    # (3,) int32
+    seq_max: jnp.ndarray    # (3,) int32
+    stuck: jnp.ndarray      # () int32
+    steps: jnp.ndarray      # () int32
+    done: jnp.ndarray       # () bool
+    reason: jnp.ndarray     # () int32
+    log_prob: jnp.ndarray   # () float32 — cumulative decision log-prob
+    add_acc: jnp.ndarray    # () float32 — last step add accuracy vs GT
+    rmv_acc: jnp.ndarray    # () float32
+    rng: jnp.ndarray        # PRNG key
+
+
+def masked_sample(rng: jnp.ndarray, mask: jnp.ndarray, k: int
+                  ) -> jnp.ndarray:
+    """Sample k indices from a boolean mask with the reference's rule
+    (``test_region_grow.py:237-252``): without replacement when count >= k,
+    otherwise all masked indices in natural order + with-replacement fill.
+    Returns (k,) int32 indices (0 fallback when mask empty; callers guard).
+    """
+    p = mask.shape[0]
+    cnt = jnp.sum(mask)
+    r_perm, r_fill = jax.random.split(rng)
+
+    # branch A: count >= k — k smallest random keys among masked
+    keys = jnp.where(mask, jax.random.uniform(r_perm, (p,)), jnp.inf)
+    _, idx_a = jax.lax.top_k(-keys, k)
+
+    # branch B: count < k — first-count masked indices + random fill
+    ordered = jnp.nonzero(mask, size=k, fill_value=0)[0]
+    fill = jax.random.randint(r_fill, (k,), 0, jnp.maximum(cnt, 1))
+    pos = jnp.arange(k)
+    idx_b = jnp.where(pos < cnt, ordered, ordered[fill])
+
+    return jnp.where(cnt >= k, idx_a, idx_b).astype(jnp.int32)
+
+
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """NumPy-median semantics over masked rows of x (P, F)."""
+    cnt = jnp.sum(mask)
+    xs = jnp.sort(jnp.where(mask[:, None], x, jnp.inf), axis=0)
+    lo = jnp.clip((cnt - 1) // 2, 0, x.shape[0] - 1)
+    hi = jnp.clip(cnt // 2, 0, x.shape[0] - 1)
+    return 0.5 * (xs[lo] + xs[hi])
+
+
+def _recenter_offset(center: jnp.ndarray, feature_size: int) -> jnp.ndarray:
+    """The reference recenters xy and feature cols 6: by the inlier median
+    (``test_region_grow.py:241-247``); z and room-coords stay absolute."""
+    keep = np.zeros(feature_size, np.float32)
+    keep[:2] = 1.0
+    keep[6:] = 1.0
+    return center * jnp.asarray(keep)
+
+
+def make_grow_step(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig):
+    """Build the per-lane grow step (params, lane-constant arrays, state)."""
+
+    def step(params, points, voxels, valid, gt_target, visited, state: LaneState
+             ) -> LaneState:
+        p, f = points.shape
+        rng, r_in, r_nb, r_add, r_rmv = jax.random.split(state.rng, 5)
+
+        neighbor_mask = (
+            valid & ~state.current & ~visited
+            & jnp.all(voxels >= state.min_dims - 1, axis=1)
+            & jnp.all(voxels <= state.max_dims + 1, axis=1)
+        )
+        nb_cnt = jnp.sum(neighbor_mask)
+        no_neighbor = nb_cnt == 0
+
+        in_idx = masked_sample(r_in, state.current, cfg.num_inlier)
+        nb_idx = masked_sample(r_nb, neighbor_mask, cfg.num_neighbor)
+
+        center = masked_median(points, state.current)
+        offset = _recenter_offset(center, f)
+        inlier_pts = points[in_idx] - offset
+        neighbor_pts = points[nb_idx] - offset
+
+        out = lrgnet.forward(params, inlier_pts[None], neighbor_pts[None],
+                             model_cfg)
+        add_conf = jax.nn.softmax(out["add_logits"][0], axis=-1)[:, 1]
+        rmv_conf = jax.nn.softmax(out["remove_logits"][0], axis=-1)[:, 1]
+
+        add_dec = jax.random.uniform(r_add, (cfg.num_neighbor,)) < add_conf
+        rmv_dec = jax.random.uniform(r_rmv, (cfg.num_inlier,)) < rmv_conf
+
+        eps = 1e-10
+        step_lp = (
+            jnp.sum(jnp.log(jnp.where(add_dec, add_conf, 1 - add_conf) + eps))
+            + jnp.sum(jnp.log(jnp.where(rmv_dec, rmv_conf, 1 - rmv_conf) + eps))
+        )
+
+        # GT-vs-prediction accuracies for the reference's per-instance log line
+        add_labels = gt_target[nb_idx]
+        rmv_labels = ~gt_target[in_idx]
+        add_pred = out["add_logits"][0, :, 1] > out["add_logits"][0, :, 0]
+        rmv_pred = out["remove_logits"][0, :, 1] > out["remove_logits"][0, :, 0]
+        add_acc = jnp.mean((add_pred == add_labels).astype(jnp.float32))
+        rmv_acc = jnp.mean((rmv_pred == rmv_labels).astype(jnp.float32))
+
+        # scatter decisions back to the full cloud (equalized points are
+        # unique voxels, so index scatter == the reference's voxel-set update)
+        add_full = jnp.zeros(p, bool).at[nb_idx].max(add_dec)
+        rmv_full = jnp.zeros(p, bool).at[in_idx].max(rmv_dec)
+        new_current = (state.current | add_full) & ~rmv_full
+        updated = jnp.any(add_dec)
+        cur_cnt = jnp.sum(new_current)
+
+        # bbox + stuck bookkeeping (test_region_grow.py:291-303)
+        big = jnp.int32(2 ** 30)
+        vmin = jnp.min(jnp.where(new_current[:, None], voxels, big), axis=0)
+        vmax = jnp.max(jnp.where(new_current[:, None], voxels, -big), axis=0)
+        within = (~jnp.any(vmin < state.seq_min)) & (~jnp.any(vmax > state.seq_max))
+        stuck_stop = within & (state.stuck >= 1)
+        new_stuck = jnp.where(within, state.stuck + 1, 0)
+        new_seq_min = jnp.minimum(state.seq_min, vmin)
+        new_seq_max = jnp.maximum(state.seq_max, vmax)
+
+        steps = state.steps + 1
+        hit_cap = steps >= cfg.max_steps
+
+        # termination resolution (in reference priority order)
+        done_now = no_neighbor | ~updated | (cur_cnt == 0) | stuck_stop | hit_cap
+        reason = jnp.where(
+            no_neighbor, REASON_NONEIGHBOR,
+            jnp.where(~updated | (cur_cnt == 0), REASON_NOEXPAND,
+                      jnp.where(stuck_stop, REASON_STUCK,
+                                jnp.where(hit_cap, REASON_MAXSTEPS,
+                                          REASON_GROWING))))
+
+        # on noneighbor the mask update never happens (reference breaks
+        # before the sess.run); keep the pre-step mask
+        commit_mask = jnp.where(no_neighbor, state.current, new_current)
+
+        def sel(new, old):
+            return jnp.where(state.done, old, new)
+
+        return LaneState(
+            current=jnp.where(state.done, state.current, commit_mask),
+            min_dims=sel(jnp.where(done_now, state.min_dims, vmin), state.min_dims),
+            max_dims=sel(jnp.where(done_now, state.max_dims, vmax), state.max_dims),
+            seq_min=sel(jnp.where(done_now, state.seq_min, new_seq_min), state.seq_min),
+            seq_max=sel(jnp.where(done_now, state.seq_max, new_seq_max), state.seq_max),
+            stuck=sel(jnp.where(done_now, state.stuck, new_stuck), state.stuck),
+            steps=sel(jnp.where(no_neighbor, state.steps, steps), state.steps),
+            done=state.done | done_now,
+            reason=sel(jnp.where(done_now, reason, state.reason), state.reason),
+            log_prob=sel(jnp.where(no_neighbor, state.log_prob,
+                                   state.log_prob + step_lp), state.log_prob),
+            add_acc=sel(jnp.where(no_neighbor, state.add_acc, add_acc), state.add_acc),
+            rmv_acc=sel(jnp.where(no_neighbor, state.rmv_acc, rmv_acc), state.rmv_acc),
+            rng=sel(rng, state.rng),
+        )
+
+    return step
+
+
+def init_lane(points: jnp.ndarray, voxels: jnp.ndarray, seed_idx: jnp.ndarray,
+              active: jnp.ndarray, rng: jnp.ndarray) -> LaneState:
+    p = points.shape[0]
+    current = jnp.zeros(p, bool).at[seed_idx].set(active)
+    seed_vox = voxels[seed_idx]
+    return LaneState(
+        current=current,
+        min_dims=seed_vox, max_dims=seed_vox,
+        seq_min=seed_vox, seq_max=seed_vox,
+        stuck=jnp.int32(0), steps=jnp.int32(0),
+        done=~active, reason=jnp.int32(REASON_GROWING),
+        log_prob=jnp.float32(0.0),
+        add_acc=jnp.float32(0.0), rmv_acc=jnp.float32(0.0),
+        rng=rng,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def grow_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig, params,
+               points, voxels, valid, gt_target, visited, seed_idx, active,
+               rng) -> LaneState:
+    """Grow one region per lane to termination.
+
+    points (L,P,F) f32; voxels (L,P,3) i32; valid/visited/gt_target (L,P)
+    bool; seed_idx/active (L,); rng (L,2) keys. Returns the final LaneState
+    batch (current masks, steps, reasons, log-probs, last-step accuracies).
+    """
+    step = make_grow_step(model_cfg, cfg)
+    state = jax.vmap(init_lane)(points, voxels, seed_idx, active, rng)
+
+    def cond(s):
+        return ~jnp.all(s.done)
+
+    def body(s):
+        return jax.vmap(lambda pt, vx, vl, gt, vs, st: step(
+            params, pt, vx, vl, gt, vs, st))(points, voxels, valid,
+                                             gt_target, visited, s)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+# --------------------------------------------------------------------------
+# Host orchestration
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RoomResult:
+    cluster_label: np.ndarray       # (N,) int, 0 = unassigned (pre-fill)
+    num_clusters: int
+    instances: List[dict]           # per-grown-instance log records
+    timing: Dict[str, float]
+
+
+def _bucket_size(n: int, minimum: int = 1024) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def fill_unlabeled(points: np.ndarray, cluster_label: np.ndarray) -> np.ndarray:
+    """Assign unlabeled points the label of the nearest labeled point in
+    full feature space (``test_region_grow.py:308-316``)."""
+    labeled = np.nonzero(cluster_label)[0]
+    unlabeled = np.nonzero(cluster_label == 0)[0]
+    if len(labeled) == 0 or len(unlabeled) == 0:
+        return cluster_label
+    from scipy.spatial import cKDTree
+    tree = cKDTree(points[labeled])
+    _, nearest = tree.query(points[unlabeled])
+    out = cluster_label.copy()
+    out[unlabeled] = cluster_label[labeled[nearest]]
+    return out
+
+
+def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
+                  rooms: List[RoomFeatures], cfg: GrowConfig,
+                  verbose: bool = False) -> List[RoomResult]:
+    """Segment every room: all rooms of a padded-size bucket advance in
+    parallel lanes, one (curvature-ordered) seed per room per wave."""
+    buckets: Dict[int, List[int]] = {}
+    for i, rf in enumerate(rooms):
+        buckets.setdefault(_bucket_size(len(rf.points)), []).append(i)
+
+    results: List[Optional[RoomResult]] = [None] * len(rooms)
+    base_rng = jax.random.PRNGKey(cfg.seed)
+
+    for psize, room_ids in sorted(buckets.items()):
+        t_setup = time.time()
+        lanes = len(room_ids)
+        f = cfg.feature_size
+        pts = np.zeros((lanes, psize, f), np.float32)
+        vox = np.zeros((lanes, psize, 3), np.int32)
+        valid = np.zeros((lanes, psize), bool)
+        curv_order = []
+        for li, ri in enumerate(room_ids):
+            rf = rooms[ri]
+            n = len(rf.points)
+            pts[li, :n] = rf.points
+            vox[li, :n] = rf.voxels
+            valid[li, :n] = True
+            curv_order.append(np.argsort(rf.curvatures, kind="stable"))
+        pts_d = jax.device_put(pts)
+        vox_d = jax.device_put(vox)
+        valid_d = jax.device_put(valid)
+
+        visited = ~valid  # padding counts as visited
+        cluster_label = [np.zeros(len(rooms[ri].points), int) for ri in room_ids]
+        cluster_id = [1] * lanes
+        inst_logs: List[List[dict]] = [[] for _ in room_ids]
+        net_time = 0.0
+        wave = 0
+
+        while True:
+            seed_idx = np.zeros(lanes, np.int32)
+            active = np.zeros(lanes, bool)
+            targets = np.zeros((lanes, psize), bool)
+            for li, ri in enumerate(room_ids):
+                n = len(rooms[ri].points)
+                unvisited = ~visited[li, :n]
+                if not unvisited.any():
+                    continue
+                order = curv_order[li]
+                cand = order[unvisited[order]]
+                s = int(cand[0])
+                seed_idx[li] = s
+                active[li] = True
+                targets[li, :n] = rooms[ri].obj_id == rooms[ri].obj_id[s]
+            if not active.any():
+                break
+
+            rng_keys = jax.vmap(
+                lambda i: jax.random.fold_in(base_rng, i)
+            )(jnp.arange(lanes) * 100003 + wave)
+            t0 = time.time()
+            final = grow_batch(model_cfg, cfg, params, pts_d, vox_d, valid_d,
+                               jax.device_put(targets),
+                               jax.device_put(visited),
+                               jnp.asarray(seed_idx), jnp.asarray(active),
+                               rng_keys)
+            final = jax.device_get(final)
+            net_time += time.time() - t0
+
+            for li, ri in enumerate(room_ids):
+                if not active[li]:
+                    continue
+                n = len(rooms[ri].points)
+                mask = final.current[li, :n].astype(bool)
+                # a lane always commits: visited over its mask (reference
+                # stop_growing marks visited regardless of cluster size)
+                if not mask.any():
+                    mask = np.zeros(n, bool)
+                    mask[seed_idx[li]] = True
+                visited[li, :n] |= mask
+                cnt = int(mask.sum())
+                rec = {
+                    "target": int(rooms[ri].obj_id[seed_idx[li]]),
+                    "steps": int(final.steps[li]),
+                    "points": cnt,
+                    "gt_points": int(targets[li, :n].sum()),
+                    "reason": REASON_NAMES.get(int(final.reason[li]), "?"),
+                    "add_acc": float(final.add_acc[li]),
+                    "rmv_acc": float(final.rmv_acc[li]),
+                    "log_prob": float(final.log_prob[li]),
+                }
+                if cnt > cfg.cluster_threshold:
+                    cluster_label[li][mask] = cluster_id[li]
+                    cluster_id[li] += 1
+                    rec["kept"] = True
+                else:
+                    rec["kept"] = False
+                inst_logs[li].append(rec)
+                if verbose:
+                    gt = targets[li, :n]
+                    iou = (mask & gt).sum() / max(1, (mask | gt).sum())
+                    print("room %d target %3d: step %3d %4d/%4d points "
+                          "IOU %.3f add %.3f rmv %.3f %s" % (
+                              ri, rec["target"], rec["steps"], cnt,
+                              rec["gt_points"], iou, rec["add_acc"],
+                              rec["rmv_acc"], rec["reason"]))
+            wave += 1
+
+        for li, ri in enumerate(room_ids):
+            lbl = fill_unlabeled(rooms[ri].points, cluster_label[li])
+            results[ri] = RoomResult(
+                cluster_label=lbl,
+                num_clusters=cluster_id[li] - 1,
+                instances=inst_logs[li],
+                timing={"net": net_time / lanes,
+                        "setup": (time.time() - t_setup) / lanes},
+            )
+
+    return results  # type: ignore[return-value]

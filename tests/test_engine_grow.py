@@ -1,0 +1,99 @@
+"""Engine: masked sampling/median semantics + end-to-end segmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from learn_region_grow_tpu.core import prepare_room
+from learn_region_grow_tpu.data.simulator import stage_rooms
+from learn_region_grow_tpu.engine.grow import (GrowConfig, fill_unlabeled,
+                                               masked_median, masked_sample,
+                                               segment_rooms)
+from learn_region_grow_tpu.eval.metrics import room_metrics
+from learn_region_grow_tpu.models import lrgnet
+from learn_region_grow_tpu.train.trainer import (SampleSet, TrainConfig,
+                                                 make_train_step)
+
+
+def test_masked_sample_without_replacement():
+    mask = np.zeros(100, bool)
+    mask[10:80] = True  # 70 masked, k=32 -> without replacement
+    idx = np.asarray(masked_sample(jax.random.PRNGKey(0), jnp.asarray(mask), 32))
+    assert len(np.unique(idx)) == 32
+    assert mask[idx].all()
+
+
+def test_masked_sample_with_fill():
+    mask = np.zeros(100, bool)
+    chosen = [3, 17, 42, 99]
+    mask[chosen] = True  # 4 masked, k=16 -> all 4 in order + fill
+    idx = np.asarray(masked_sample(jax.random.PRNGKey(1), jnp.asarray(mask), 16))
+    np.testing.assert_array_equal(idx[:4], chosen)
+    assert np.isin(idx[4:], chosen).all()
+
+
+def test_masked_median_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.randn(50, 5).astype(np.float32)
+    mask = rng.rand(50) < 0.6
+    got = np.asarray(masked_median(jnp.asarray(x), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, np.median(x[mask], axis=0), atol=1e-6)
+    # odd count too
+    mask2 = np.zeros(50, bool)
+    mask2[[1, 5, 9]] = True
+    got2 = np.asarray(masked_median(jnp.asarray(x), jnp.asarray(mask2)))
+    np.testing.assert_allclose(got2, np.median(x[mask2], axis=0), atol=1e-6)
+
+
+def test_fill_unlabeled():
+    pts = np.array([[0.0, 0], [0.1, 0], [5, 5], [5.1, 5]], np.float32)
+    lbl = np.array([1, 0, 2, 0])
+    out = fill_unlabeled(pts, lbl)
+    np.testing.assert_array_equal(out, [1, 1, 2, 2])
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_rooms):
+    """Stage + briefly train a small LrgNet on the tiny synthetic rooms."""
+    rooms = [r[:, :6] for r in tiny_rooms]
+    staged = stage_rooms(rooms, [r[:, 6] for r in tiny_rooms],
+                         [r[:, 7] for r in tiny_rooms], resolution=0.1, seed=0)
+    cfg = TrainConfig(batch_size=16, num_inlier=128, num_neighbor=128,
+                      multiseed=0)
+    ss = SampleSet(*staged.split())
+    init_fn, train_step, _ = make_train_step(cfg)
+    params, opt = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    for _ in range(150):
+        idx = rng.choice(len(ss), 16, replace=False)
+        params, opt, m = train_step(params, opt, ss.batch(idx, 128, 128, rng))
+    return params, cfg.model_config()
+
+
+def test_segment_rooms_end_to_end(tiny_rooms, trained):
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+    results = segment_rooms(params, mcfg, [rf], gcfg)
+    assert len(results) == 1
+    res = results[0]
+    lbl = res.cluster_label
+    assert lbl.shape == (len(rf.points),)
+    assert (lbl > 0).all()  # fill assigns every point
+    assert res.num_clusters >= 1
+    assert len(res.instances) >= 1
+    m, _ = room_metrics(rf.obj_id, lbl)
+    # quickly-trained net on synthetic boxes reaches ~0.8 NMI; 0.5 guards
+    # against engine regressions without being training-noise flaky
+    assert m.nmi > 0.5, f"NMI too low: {m.nmi}"
+
+
+def test_segment_rooms_batches_multiple_rooms(tiny_rooms, trained):
+    params, mcfg = trained
+    rfs = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
+           for r in tiny_rooms]
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+    results = segment_rooms(params, mcfg, rfs, gcfg)
+    assert all(r is not None and (r.cluster_label > 0).all() for r in results)
