@@ -1,0 +1,143 @@
+"""CLI: greedy region-growing inference + metrics (the flagship eval).
+
+Mirrors ``python test_region_grow.py --area 5 --save``
+(reference ``test_region_grow.py:53-65``), with the grow loop restructured
+into batched device lanes (all sampled rooms of an area grow in parallel).
+Per-room and aggregate metric lines keep the reference stdout format so
+``results/*.txt``-style regression records stay comparable.
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..core.features import prepare_room
+from ..engine.grow import GrowConfig, segment_rooms
+from ..eval.metrics import RoomMetrics, aggregate_line, room_metrics
+from ..models import lrgnet
+from ..train.checkpoint import load_checkpoint, lrgnet_model_path
+from ..utils.io import load_h5_rooms, save_ply
+
+
+def area_rooms_path(data_dir: str, area: str) -> str:
+    if area in ("scannet", "s3dis", "kitti_train", "kitti_val") or \
+            area.startswith("synthetic"):
+        return os.path.join(data_dir, f"{area}.h5")
+    return os.path.join(data_dir, f"s3dis_area{area}.h5")
+
+
+def load_sampled_filter(data_dir: str, area: str):
+    """Room-name gating (``test_region_grow.py:101-113``). Returns a
+    predicate room_id -> bool."""
+    room_name_file = os.path.join(data_dir, f"{area}_room_name.txt")
+    sample_file = os.path.join(data_dir, "s3dis_sampled.txt")
+    if not (os.path.exists(room_name_file) and os.path.exists(sample_file)):
+        return lambda room_id: True
+    room_names = open(room_name_file).read().split("\n")
+    sample_list = set(open(sample_file).read().split("\n"))
+
+    def keep(room_id):
+        if room_id >= len(room_names):
+            return True
+        return "_".join(room_names[room_id].split()) + ".h5" in sample_list
+
+    return keep
+
+
+def run_area(area: str, args) -> list:
+    model_path = args.model or lrgnet_model_path(
+        args.models_dir, area, args.feature_size, args.num_inlier,
+        args.num_neighbor, args.lite, args.cross_domain, args.train_area)
+    params, _, saved_cfg = load_checkpoint(model_path)
+    print(f"Restored from {model_path}")
+    mcfg = lrgnet.LrgNetConfig(
+        feature_size=args.feature_size, lite=args.lite,
+        completeness_head="complete_head" in params)
+
+    rooms, obj_ids, cls_ids = load_h5_rooms(
+        area_rooms_path(args.data_dir, area))
+    keep = load_sampled_filter(args.data_dir, area)
+
+    feats, kept_ids = [], []
+    t_feature = time.time()
+    for rid in range(len(rooms)):
+        if not keep(rid):
+            continue
+        feats.append(prepare_room(rooms[rid], obj_ids[rid], cls_ids[rid],
+                                  resolution=args.resolution,
+                                  feature_size=args.feature_size))
+        kept_ids.append(rid)
+    t_feature = time.time() - t_feature
+
+    gcfg = GrowConfig(num_inlier=args.num_inlier,
+                      num_neighbor=args.num_neighbor,
+                      feature_size=args.feature_size,
+                      resolution=args.resolution,
+                      cluster_threshold=args.cluster_threshold,
+                      seed=args.seed)
+    t_grow = time.time()
+    results = segment_rooms(params, mcfg, feats, gcfg, verbose=args.verbose)
+    t_grow = time.time() - t_grow
+
+    all_metrics = []
+    total_points = 0
+    save_id = 0
+    for i, rid in enumerate(kept_ids):
+        rf, res = feats[i], results[i]
+        m, cluster_label2 = room_metrics(rf.obj_id, res.cluster_label)
+        all_metrics.append(m)
+        total_points += len(rooms[rid])
+        print("Area %s room %d NMI: %.2f AMI: %.2f ARS: %.2f PRC: %.2f "
+              "RCL: %.2f IOU: %.2f" % (area, rid, m.nmi, m.ami, m.ars,
+                                       m.prc, m.rcl, m.iou))
+        if args.save:
+            color_state = np.random.RandomState(0)
+            colors = color_state.randint(0, 255,
+                                         (cluster_label2.max() + 1, 3))
+            colors[0] = [100, 100, 100]
+            out = np.asarray(rooms[rid]).copy()
+            out[:, 3:6] = colors[cluster_label2][rf.unequalized_idx]
+            os.makedirs(os.path.join(args.data_dir, "results", "lrg"),
+                        exist_ok=True)
+            tag = "scannet%d" % save_id if area == "scannet" else "%d" % save_id
+            save_ply(os.path.join(args.data_dir, "results", "lrg",
+                                  f"{tag}.ply"), out)
+            save_id += 1
+
+    print("timing: feature %.2fs grow %.2fs  %.0f points/sec" % (
+        t_feature, t_grow,
+        total_points / max(t_feature + t_grow, 1e-9)))
+    return all_metrics
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--area", default="1,2,3,4,5,6,scannet")
+    ap.add_argument("--save", action="store_true")
+    ap.add_argument("--cross-domain", action="store_true")
+    ap.add_argument("--train-area", default=None)
+    ap.add_argument("--resolution", type=float, default=0.1)
+    ap.add_argument("--lite", type=int, default=None)
+    ap.add_argument("--feature-size", type=int, default=13)
+    ap.add_argument("--num-inlier", type=int, default=512)
+    ap.add_argument("--num-neighbor", type=int, default=512)
+    ap.add_argument("--cluster-threshold", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--models-dir", default="models")
+    ap.add_argument("--model", default=None,
+                    help="explicit checkpoint path (overrides naming scheme)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    agg = []
+    for area in args.area.split(","):
+        agg.extend(run_area(area, args))
+    print(aggregate_line(agg))
+    return agg
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,11 @@ def make_train_step(cfg: TrainConfig, mesh=None):
 
     def init_fn(rng):
         params = lrgnet.init_params(rng, mcfg)
+        if mesh is not None:
+            # place params under the tp sharding rule; Adam moments follow
+            params = jax.device_put(params,
+                                    mesh_lib.param_sharding(params, mesh))
+            return params, jax.jit(tx.init)(params)
         return params, tx.init(params)
 
     def train_step(params, opt_state, batch):
@@ -156,14 +161,11 @@ def make_train_step(cfg: TrainConfig, mesh=None):
 
     if mesh is not None:
         bs = mesh_lib.batch_sharding(mesh)
-        rep = mesh_lib.replicated(mesh)
-        train_step = jax.jit(
-            train_step,
-            in_shardings=(rep, rep, bs),
-            out_shardings=(rep, rep, rep),
-            donate_argnums=(0, 1),
-        )
-        eval_step = jax.jit(eval_step, in_shardings=(rep, bs))
+        # params/opt keep their placement (tp rule from init_fn);
+        # batch is dp-sharded on its leading axis
+        train_step = jax.jit(train_step, in_shardings=(None, None, bs),
+                             donate_argnums=(0, 1))
+        eval_step = jax.jit(eval_step, in_shardings=(None, bs))
     else:
         train_step = jax.jit(train_step, donate_argnums=(0, 1))
         eval_step = jax.jit(eval_step)
