@@ -51,8 +51,14 @@ def estimate_normals_curvature(
     equalized_xyz: np.ndarray,
     unequalized_xyz: np.ndarray,
     resolution: float,
+    normalize_curvature: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Normals (|components|) and max-normalized curvature per equalized point."""
+    """Normals (|components|) and curvature per equalized point.
+
+    ``normalize_curvature=True`` divides by the per-room max (the LRGNet
+    feature convention, ``stage_data.py:101``); the classical benchmarks use
+    the raw value (``benchmarks.py:240-246``).
+    """
     h, counts, sums, outers = voxel_moments(unequalized_xyz, resolution)
     vox = voxel_coords(equalized_xyz, resolution)
 
@@ -79,7 +85,8 @@ def estimate_normals_curvature(
     denom = s_vals.sum(axis=1)
     curvature = np.abs(np.divide(s_vals[:, 2], denom,
                                  out=np.zeros(n), where=denom > 0))
-    cmax = curvature.max() if n else 0.0
-    if cmax > 0:
-        curvature = curvature / cmax
+    if normalize_curvature:
+        cmax = curvature.max() if n else 0.0
+        if cmax > 0:
+            curvature = curvature / cmax
     return normals.astype(np.float64), curvature.astype(np.float64)
