@@ -1,0 +1,74 @@
+"""CLI: beam-search region-growing inference
+(reference ``test_beam_search.py``; ``--scoring ml|np``)."""
+
+import argparse
+
+from . import test_region_grow as trg_cli
+from ..engine.beam import segment_rooms_beam
+from ..engine.grow import GrowConfig
+from ..eval.metrics import aggregate_line, room_metrics
+from ..models import lrgnet
+from ..train.checkpoint import load_checkpoint, lrgnet_model_path
+from ..utils.io import load_h5_rooms
+from ..core.features import prepare_room
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--area", default="5")
+    ap.add_argument("--scoring", default="np", choices=["np", "ml"])
+    ap.add_argument("--beam-width", type=int, default=3)
+    ap.add_argument("--search-width", type=int, default=3)
+    ap.add_argument("--resolution", type=float, default=0.1)
+    ap.add_argument("--feature-size", type=int, default=13)
+    ap.add_argument("--num-inlier", type=int, default=512)
+    ap.add_argument("--num-neighbor", type=int, default=512)
+    ap.add_argument("--cluster-threshold", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--models-dir", default="models")
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    agg = []
+    for area in args.area.split(","):
+        model_path = args.model or lrgnet_model_path(
+            args.models_dir, area, args.feature_size, args.num_inlier,
+            args.num_neighbor)
+        params, _, _ = load_checkpoint(model_path)
+        print(f"Restored from {model_path}")
+        mcfg = lrgnet.LrgNetConfig(feature_size=args.feature_size)
+        rooms, obj_ids, cls_ids = load_h5_rooms(
+            trg_cli.area_rooms_path(args.data_dir, area))
+        keep = trg_cli.load_sampled_filter(args.data_dir, area)
+        feats, kept = [], []
+        for rid in range(len(rooms)):
+            if not keep(rid):
+                continue
+            feats.append(prepare_room(rooms[rid], obj_ids[rid], cls_ids[rid],
+                                      resolution=args.resolution,
+                                      feature_size=args.feature_size))
+            kept.append(rid)
+        gcfg = GrowConfig(num_inlier=args.num_inlier,
+                          num_neighbor=args.num_neighbor,
+                          feature_size=args.feature_size,
+                          resolution=args.resolution,
+                          cluster_threshold=args.cluster_threshold,
+                          seed=args.seed)
+        results = segment_rooms_beam(
+            params, mcfg, feats, gcfg, beam_width=args.beam_width,
+            search_width=args.search_width, scoring=args.scoring,
+            verbose=args.verbose)
+        for i, rid in enumerate(kept):
+            m, _ = room_metrics(feats[i].obj_id, results[i].cluster_label)
+            agg.append(m)
+            print("Area %s room %d NMI: %.2f AMI: %.2f ARS: %.2f PRC: %.2f "
+                  "RCL: %.2f IOU: %.2f" % (area, rid, m.nmi, m.ami, m.ars,
+                                           m.prc, m.rcl, m.iou))
+    print(aggregate_line(agg))
+    return agg
+
+
+if __name__ == "__main__":
+    main()

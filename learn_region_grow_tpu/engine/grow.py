@@ -258,6 +258,55 @@ def grow_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig, params,
     return jax.lax.while_loop(cond, body, state)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def single_step_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
+                      params, points, voxels, valid, visited, mask, active,
+                      rng):
+    """ONE stochastic grow step per lane from an explicit mask (the beam
+    search building block, reference ``test_beam_search.py:205-282``).
+
+    The bbox is recomputed from the mask (as the beam variant does each
+    round). Returns (new_mask, step_log_prob, updated, no_neighbor).
+    """
+    def one(pt, vx, vl, vs, mk, act, key):
+        p, f = pt.shape
+        big = jnp.int32(2 ** 30)
+        vmin = jnp.min(jnp.where(mk[:, None], vx, big), axis=0)
+        vmax = jnp.max(jnp.where(mk[:, None], vx, -big), axis=0)
+        neighbor_mask = (vl & ~mk & ~vs
+                         & jnp.all(vx >= vmin - 1, axis=1)
+                         & jnp.all(vx <= vmax + 1, axis=1))
+        no_neighbor = jnp.sum(neighbor_mask) == 0
+
+        r_in, r_nb, r_add, r_rmv = jax.random.split(key, 4)
+        in_idx = masked_sample(r_in, mk, cfg.num_inlier)
+        nb_idx = masked_sample(r_nb, neighbor_mask, cfg.num_neighbor)
+        center = masked_median(pt, mk)
+        offset = _recenter_offset(center, f)
+        out = lrgnet.forward(params, (pt[in_idx] - offset)[None],
+                             (pt[nb_idx] - offset)[None], model_cfg)
+        add_conf = jax.nn.softmax(out["add_logits"][0], axis=-1)[:, 1]
+        rmv_conf = jax.nn.softmax(out["remove_logits"][0], axis=-1)[:, 1]
+        add_dec = jax.random.uniform(r_add, (cfg.num_neighbor,)) < add_conf
+        rmv_dec = jax.random.uniform(r_rmv, (cfg.num_inlier,)) < rmv_conf
+        eps = 1e-10
+        # the reference normalizes per-decision log-probs by
+        # NUM_NEIGHBOR_POINT for both heads (test_beam_search.py:243,257)
+        step_lp = (jnp.sum(jnp.log(jnp.where(add_dec, add_conf,
+                                             1 - add_conf) + eps))
+                   + jnp.sum(jnp.log(jnp.where(rmv_dec, rmv_conf,
+                                               1 - rmv_conf) + eps))
+                   ) / cfg.num_neighbor
+        add_full = jnp.zeros(p, bool).at[nb_idx].max(add_dec)
+        rmv_full = jnp.zeros(p, bool).at[in_idx].max(rmv_dec)
+        new_mask = (mk | add_full) & ~rmv_full
+        updated = jnp.any(add_dec) & ~no_neighbor & act
+        new_mask = jnp.where(act & ~no_neighbor, new_mask, mk)
+        return new_mask, step_lp, updated, no_neighbor
+
+    return jax.vmap(one)(points, voxels, valid, visited, mask, active, rng)
+
+
 # --------------------------------------------------------------------------
 # Host orchestration
 # --------------------------------------------------------------------------
@@ -294,9 +343,18 @@ def fill_unlabeled(points: np.ndarray, cluster_label: np.ndarray) -> np.ndarray:
 
 def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                   rooms: List[RoomFeatures], cfg: GrowConfig,
-                  verbose: bool = False) -> List[RoomResult]:
+                  verbose: bool = False,
+                  num_restarts: int = 1,
+                  scoring: str = "np") -> List[RoomResult]:
     """Segment every room: all rooms of a padded-size bucket advance in
-    parallel lanes, one (curvature-ordered) seed per room per wave."""
+    parallel lanes, one (curvature-ordered) seed per room per wave.
+
+    ``num_restarts > 1`` reproduces the random-restart local-search variant
+    (reference ``test_random_restart.py:169-197``) with all restarts as
+    EXTRA PARALLEL LANES instead of the reference's serial re-runs; the best
+    mask per seed is kept by ``scoring``: ``np`` = mask point count, ``ml``
+    = cumulative decision log-prob.
+    """
     buckets: Dict[int, List[int]] = {}
     for i, rf in enumerate(rooms):
         buckets.setdefault(_bucket_size(len(rf.points)), []).append(i)
@@ -306,26 +364,34 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
 
     for psize, room_ids in sorted(buckets.items()):
         t_setup = time.time()
-        lanes = len(room_ids)
+        R = num_restarts
+        lanes = len(room_ids) * R
         f = cfg.feature_size
         pts = np.zeros((lanes, psize, f), np.float32)
         vox = np.zeros((lanes, psize, 3), np.int32)
         valid = np.zeros((lanes, psize), bool)
         curv_order = []
-        for li, ri in enumerate(room_ids):
+        for gi, ri in enumerate(room_ids):
             rf = rooms[ri]
             n = len(rf.points)
-            pts[li, :n] = rf.points
-            vox[li, :n] = rf.voxels
-            valid[li, :n] = True
+            for r in range(R):
+                li = gi * R + r
+                pts[li, :n] = rf.points
+                vox[li, :n] = rf.voxels
+                valid[li, :n] = True
             curv_order.append(np.argsort(rf.curvatures, kind="stable"))
         pts_d = jax.device_put(pts)
         vox_d = jax.device_put(vox)
         valid_d = jax.device_put(valid)
 
-        visited = ~valid  # padding counts as visited
-        cluster_label = [np.zeros(len(rooms[ri].points), int) for ri in room_ids]
-        cluster_id = [1] * lanes
+        # visited tracked per ROOM; lane copies are views expanded per wave
+        room_visited = [np.concatenate([
+            np.zeros(len(rooms[ri].points), bool),
+            np.ones(psize - len(rooms[ri].points), bool)])
+            for ri in room_ids]
+        cluster_label = [np.zeros(len(rooms[ri].points), int)
+                         for ri in room_ids]
+        cluster_id = [1] * len(room_ids)
         inst_logs: List[List[dict]] = [[] for _ in room_ids]
         net_time = 0.0
         wave = 0
@@ -334,17 +400,22 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
             seed_idx = np.zeros(lanes, np.int32)
             active = np.zeros(lanes, bool)
             targets = np.zeros((lanes, psize), bool)
-            for li, ri in enumerate(room_ids):
+            visited = np.ones((lanes, psize), bool)
+            for gi, ri in enumerate(room_ids):
                 n = len(rooms[ri].points)
-                unvisited = ~visited[li, :n]
+                unvisited = ~room_visited[gi][:n]
                 if not unvisited.any():
                     continue
-                order = curv_order[li]
+                order = curv_order[gi]
                 cand = order[unvisited[order]]
                 s = int(cand[0])
-                seed_idx[li] = s
-                active[li] = True
-                targets[li, :n] = rooms[ri].obj_id == rooms[ri].obj_id[s]
+                tgt = rooms[ri].obj_id == rooms[ri].obj_id[s]
+                for r in range(R):
+                    li = gi * R + r
+                    seed_idx[li] = s
+                    active[li] = True
+                    targets[li, :n] = tgt
+                    visited[li] = room_visited[gi]
             if not active.any():
                 break
 
@@ -360,37 +431,50 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
             final = jax.device_get(final)
             net_time += time.time() - t0
 
-            for li, ri in enumerate(room_ids):
-                if not active[li]:
+            for gi, ri in enumerate(room_ids):
+                li0 = gi * R
+                if not active[li0]:
                     continue
                 n = len(rooms[ri].points)
-                mask = final.current[li, :n].astype(bool)
+                # pick the best restart lane by the scoring rule
+                if R == 1:
+                    best = li0
+                else:
+                    counts = [final.current[li0 + r, :n].sum()
+                              for r in range(R)]
+                    if scoring == "ml":
+                        scores = [float(final.log_prob[li0 + r])
+                                  for r in range(R)]
+                    else:
+                        scores = counts
+                    best = li0 + int(np.argmax(scores))
+                mask = final.current[best, :n].astype(bool)
                 # a lane always commits: visited over its mask (reference
                 # stop_growing marks visited regardless of cluster size)
                 if not mask.any():
                     mask = np.zeros(n, bool)
-                    mask[seed_idx[li]] = True
-                visited[li, :n] |= mask
+                    mask[seed_idx[li0]] = True
+                room_visited[gi][:n] |= mask
                 cnt = int(mask.sum())
                 rec = {
-                    "target": int(rooms[ri].obj_id[seed_idx[li]]),
-                    "steps": int(final.steps[li]),
+                    "target": int(rooms[ri].obj_id[seed_idx[li0]]),
+                    "steps": int(final.steps[best]),
                     "points": cnt,
-                    "gt_points": int(targets[li, :n].sum()),
-                    "reason": REASON_NAMES.get(int(final.reason[li]), "?"),
-                    "add_acc": float(final.add_acc[li]),
-                    "rmv_acc": float(final.rmv_acc[li]),
-                    "log_prob": float(final.log_prob[li]),
+                    "gt_points": int(targets[li0, :n].sum()),
+                    "reason": REASON_NAMES.get(int(final.reason[best]), "?"),
+                    "add_acc": float(final.add_acc[best]),
+                    "rmv_acc": float(final.rmv_acc[best]),
+                    "log_prob": float(final.log_prob[best]),
                 }
                 if cnt > cfg.cluster_threshold:
-                    cluster_label[li][mask] = cluster_id[li]
-                    cluster_id[li] += 1
+                    cluster_label[gi][mask] = cluster_id[gi]
+                    cluster_id[gi] += 1
                     rec["kept"] = True
                 else:
                     rec["kept"] = False
-                inst_logs[li].append(rec)
+                inst_logs[gi].append(rec)
                 if verbose:
-                    gt = targets[li, :n]
+                    gt = targets[li0, :n]
                     iou = (mask & gt).sum() / max(1, (mask | gt).sum())
                     print("room %d target %3d: step %3d %4d/%4d points "
                           "IOU %.3f add %.3f rmv %.3f %s" % (
@@ -399,14 +483,14 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                               rec["rmv_acc"], rec["reason"]))
             wave += 1
 
-        for li, ri in enumerate(room_ids):
-            lbl = fill_unlabeled(rooms[ri].points, cluster_label[li])
+        for gi, ri in enumerate(room_ids):
+            lbl = fill_unlabeled(rooms[ri].points, cluster_label[gi])
             results[ri] = RoomResult(
                 cluster_label=lbl,
-                num_clusters=cluster_id[li] - 1,
-                instances=inst_logs[li],
-                timing={"net": net_time / lanes,
-                        "setup": (time.time() - t_setup) / lanes},
+                num_clusters=cluster_id[gi] - 1,
+                instances=inst_logs[gi],
+                timing={"net": net_time / max(len(room_ids), 1),
+                        "setup": (time.time() - t_setup) / max(len(room_ids), 1)},
             )
 
     return results  # type: ignore[return-value]

@@ -29,3 +29,26 @@ from learn_region_grow_tpu.data.synthetic import generate_rooms  # noqa: E402
 def tiny_rooms():
     """Two small synthetic rooms (8-col layout), deterministic."""
     return generate_rooms(2, seed=0, scale=0.35)
+
+
+@pytest.fixture(scope="session")
+def trained(tiny_rooms):
+    """A briefly-trained 128/128 LrgNet on the tiny synthetic rooms
+    (shared across engine/local-search tests; ~1 min once per session)."""
+    from learn_region_grow_tpu.data.simulator import stage_rooms
+    from learn_region_grow_tpu.train.trainer import (SampleSet, TrainConfig,
+                                                     make_train_step)
+    rooms = [r[:, :6] for r in tiny_rooms]
+    staged = stage_rooms(rooms, [r[:, 6] for r in tiny_rooms],
+                         [r[:, 7] for r in tiny_rooms], resolution=0.1,
+                         seed=0)
+    cfg = TrainConfig(batch_size=16, num_inlier=128, num_neighbor=128,
+                      multiseed=0)
+    ss = SampleSet(*staged.split())
+    init_fn, train_step, _ = make_train_step(cfg)
+    params, opt = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    for _ in range(150):
+        idx = rng.choice(len(ss), 16, replace=False)
+        params, opt, _m = train_step(params, opt, ss.batch(idx, 128, 128, rng))
+    return params, cfg.model_config()

@@ -12,8 +12,6 @@ from learn_region_grow_tpu.engine.grow import (GrowConfig, fill_unlabeled,
                                                segment_rooms)
 from learn_region_grow_tpu.eval.metrics import room_metrics
 from learn_region_grow_tpu.models import lrgnet
-from learn_region_grow_tpu.train.trainer import (SampleSet, TrainConfig,
-                                                 make_train_step)
 
 
 def test_masked_sample_without_replacement():
@@ -51,24 +49,6 @@ def test_fill_unlabeled():
     lbl = np.array([1, 0, 2, 0])
     out = fill_unlabeled(pts, lbl)
     np.testing.assert_array_equal(out, [1, 1, 2, 2])
-
-
-@pytest.fixture(scope="module")
-def trained(tiny_rooms):
-    """Stage + briefly train a small LrgNet on the tiny synthetic rooms."""
-    rooms = [r[:, :6] for r in tiny_rooms]
-    staged = stage_rooms(rooms, [r[:, 6] for r in tiny_rooms],
-                         [r[:, 7] for r in tiny_rooms], resolution=0.1, seed=0)
-    cfg = TrainConfig(batch_size=16, num_inlier=128, num_neighbor=128,
-                      multiseed=0)
-    ss = SampleSet(*staged.split())
-    init_fn, train_step, _ = make_train_step(cfg)
-    params, opt = init_fn(jax.random.PRNGKey(0))
-    rng = np.random.RandomState(0)
-    for _ in range(150):
-        idx = rng.choice(len(ss), 16, replace=False)
-        params, opt, m = train_step(params, opt, ss.batch(idx, 128, 128, rng))
-    return params, cfg.model_config()
 
 
 def test_segment_rooms_end_to_end(tiny_rooms, trained):
