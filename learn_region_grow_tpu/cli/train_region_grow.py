@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--models-dir", default="models")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    ap.add_argument("--completeness-head", action="store_true",
+                    help="train the optional completeness (IoU) regression "
+                         "head (evidence of the published model's head: "
+                         "experimental/train_region_grow_rnn.py:143)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="single-device jit without mesh sharding")
     args = ap.parse_args(argv)
@@ -45,6 +49,7 @@ def main(argv=None):
         data_dir=args.data_dir,
         models_dir=args.models_dir,
         cross_domain=args.cross_domain,
+        completeness_head=args.completeness_head,
         compute_dtype=args.dtype,
         tp=args.tp,
     )

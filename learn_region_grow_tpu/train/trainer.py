@@ -63,15 +63,20 @@ class TrainConfig:
 
 class SampleSet:
     """Per-sample ragged arrays (inlier pts, remove labels, neighbor pts,
-    add labels) with fast fixed-shape batch resampling."""
+    add labels[, completeness score]) with fast fixed-shape batch
+    resampling."""
 
-    def __init__(self, inlier_pts, remove, neighbor_pts, add):
+    def __init__(self, inlier_pts, remove, neighbor_pts, add, complete=None):
         # filter samples with empty neighbor arrays (train_region_grow.py:125-136)
         keep = [i for i in range(len(neighbor_pts)) if len(neighbor_pts[i]) > 0]
         self.inlier_pts = [np.ascontiguousarray(inlier_pts[i], np.float32) for i in keep]
         self.remove = [np.asarray(remove[i], np.int32) for i in keep]
         self.neighbor_pts = [np.ascontiguousarray(neighbor_pts[i], np.float32) for i in keep]
         self.add = [np.asarray(add[i], np.int32) for i in keep]
+        if complete is not None:
+            self.complete = [float(complete[i]) for i in keep]
+        else:
+            self.complete = None
 
     def __len__(self):
         return len(self.inlier_pts)
@@ -81,9 +86,12 @@ class SampleSet:
         self.remove += other.remove
         self.neighbor_pts += other.neighbor_pts
         self.add += other.add
+        if self.complete is not None and other.complete is not None:
+            self.complete += other.complete
 
     def batch(self, idx: Sequence[int], num_inlier: int, num_neighbor: int,
-              rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+              rng: np.random.RandomState,
+              with_complete: bool = False) -> Dict[str, np.ndarray]:
         b = len(idx)
         f = self.inlier_pts[0].shape[1]
         inlier = np.empty((b, num_inlier, f), np.float32)
@@ -97,8 +105,12 @@ class SampleSet:
             sub = _resample_idx(len(self.neighbor_pts[i]), num_neighbor, rng)
             neighbor[j] = self.neighbor_pts[i][sub]
             add[j] = self.add[i][sub]
-        return {"inlier": inlier, "neighbor": neighbor,
-                "add": add, "remove": remove}
+        out = {"inlier": inlier, "neighbor": neighbor,
+               "add": add, "remove": remove}
+        if with_complete and self.complete is not None:
+            out["complete"] = np.array([self.complete[i] for i in idx],
+                                       np.float32)
+        return out
 
 
 def _resample_idx(n: int, k: int, rng: np.random.RandomState) -> np.ndarray:
@@ -126,10 +138,10 @@ def load_sample_set(paths: Sequence[str], feature_size: int) -> SampleSet:
             continue
         print(f"Loading {p} ...")
         staged = load_staged_h5(p, feature_size=feature_size)
-        ss = SampleSet(*staged.split())
+        ss = SampleSet(*staged.split(), complete=staged.complete)
         merged = ss if merged is None else (merged.extend(ss) or merged)
     if merged is None:
-        merged = SampleSet([], [], [], [])
+        merged = SampleSet([], [], [], [], complete=[])
     return merged
 
 
@@ -217,7 +229,8 @@ def fit(cfg: TrainConfig, train_areas: List[str],
         t0 = time.time()
         for b in range(num_batches):
             sel = idx[b * cfg.batch_size:(b + 1) * cfg.batch_size]
-            batch = train_set.batch(sel, cfg.num_inlier, cfg.num_neighbor, rng)
+            batch = train_set.batch(sel, cfg.num_inlier, cfg.num_neighbor,
+                                    rng, with_complete=cfg.completeness_head)
             if mesh is not None:
                 batch = mesh_lib.shard_batch(batch, mesh)
             params, opt_state, metrics = train_step(params, opt_state, batch)
@@ -240,7 +253,8 @@ def fit(cfg: TrainConfig, train_areas: List[str],
                 if len(sel) == 0:
                     break
                 sel = np.resize(sel, cfg.batch_size)
-                batch = val_set.batch(sel, cfg.num_inlier, cfg.num_neighbor, rng)
+                batch = val_set.batch(sel, cfg.num_inlier, cfg.num_neighbor,
+                                      rng, with_complete=cfg.completeness_head)
                 if mesh is not None:
                     batch = mesh_lib.shard_batch(batch, mesh)
                 vagg.append(eval_step(params, batch))

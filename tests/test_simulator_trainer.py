@@ -97,3 +97,25 @@ def test_train_step_learns(staged):
         params, opt, m = train_step(params, opt, batch)
         losses.append(float(m["loss"]))
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_train_with_completeness_head(staged):
+    """Optional completeness head: loss includes IoU regression."""
+    import jax
+    cfg = TrainConfig(batch_size=8, num_inlier=64, num_neighbor=64,
+                      multiseed=0, completeness_head=True)
+    ss = SampleSet(*staged.split(), complete=staged.complete)
+    init_fn, train_step, _ = make_train_step(cfg)
+    params, opt = init_fn(jax.random.PRNGKey(0))
+    assert "complete_head" in params
+    rng = np.random.RandomState(0)
+    comps = []
+    for _ in range(10):
+        idx = rng.choice(len(ss), 8, replace=False)
+        batch = ss.batch(idx, 64, 64, rng, with_complete=True)
+        assert "complete" in batch
+        params, opt, m = train_step(params, opt, batch)
+        comps.append(float(m["complete_loss"]))
+    assert np.isfinite(comps).all()
+    # regression target is an IoU in [0,1]; MSE must stay bounded
+    assert np.mean(comps[-3:]) < 0.5
