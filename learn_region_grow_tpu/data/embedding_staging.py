@@ -1,0 +1,99 @@
+"""Embedding-conditioned growing: 19-d features with MCPNet embeddings.
+
+Reimplements the experimental variant (``experimental/stage_embedding_data.py``;
+the shipped driver is bit-rotted — its ``action_map`` table is undefined in
+file) as a supported feature pathway: per-point features are
+``[xyz(3), rgb(3), |normal|(3), mcp_embedding(10)]`` (FEATURE_SIZE=19,
+``stage_embedding_data.py:106,135``), produced with a trained MCPNet, and
+growth samples are staged with the standard mistake-injection simulator.
+The greedy/beam/restart engines consume 19-d rooms unchanged (the recenter
+rule — xy + feature cols 6: — matches the reference's).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.features import RoomFeatures
+from ..core.normals import estimate_normals_curvature
+from ..core.voxel import equalize_resolution, voxel_coords
+from .mcp_staging import neighbor_sets
+from .simulator import _Accumulator, simulate_room
+from ..utils.io import StagedSamples, save_staged_h5
+
+EMBEDDING_FEATURE_SIZE = 19
+
+
+def build_embedding_features(raw_points: np.ndarray, obj_id: np.ndarray,
+                             cls_id: np.ndarray, mcp_params, mcp_cfg,
+                             resolution: float = 0.1,
+                             embed_batch: int = 4096,
+                             rng: Optional[np.random.RandomState] = None
+                             ) -> RoomFeatures:
+    """One room -> RoomFeatures with 19-d [xyz, rgb, normals, embedding]."""
+    import jax
+
+    from ..models import mcpnet
+
+    rng = rng or np.random.RandomState(0)
+    raw_points = np.asarray(raw_points, np.float64)
+    eq_idx, uneq_idx = equalize_resolution(raw_points[:, :3], resolution)
+    pts = raw_points[eq_idx]
+    obj = np.asarray(obj_id)[eq_idx].astype(np.int64)
+    cls = np.asarray(cls_id)[eq_idx].astype(np.int64)
+    normals, curvatures = estimate_normals_curvature(
+        pts[:, :3], raw_points[:, :3], resolution)
+
+    nbr = neighbor_sets(pts[:, :6], mcp_cfg.num_neighbors, 0.3, rng)
+    n = len(pts)
+    emb = np.zeros((n, mcp_cfg.embedding_size), np.float32)
+    embed = jax.jit(lambda p, a, b: mcpnet.forward(p, a, b))
+    point_feats = pts[:, 2:6].astype(np.float32)
+    nbr_feats = nbr[:, :, :mcp_cfg.feature_size].astype(np.float32)
+    for s in range(0, n, embed_batch):
+        e = min(s + embed_batch, n)
+        pf = np.zeros((embed_batch, point_feats.shape[1]), np.float32)
+        nf = np.zeros((embed_batch,) + nbr_feats.shape[1:], np.float32)
+        pf[:e - s] = point_feats[s:e]
+        nf[:e - s] = nbr_feats[s:e]
+        emb[s:e] = np.asarray(embed(mcp_params, pf, nf))[:e - s]
+
+    feats = np.hstack([pts[:, :3], pts[:, 3:6], normals, emb]
+                      ).astype(np.float32)
+    assert feats.shape[1] == EMBEDDING_FEATURE_SIZE
+    return RoomFeatures(points=feats,
+                        voxels=voxel_coords(pts[:, :3], resolution),
+                        obj_id=obj, cls_id=cls, curvatures=curvatures,
+                        equalized_idx=eq_idx, unequalized_idx=uneq_idx)
+
+
+def stage_embedding_rooms(rooms, obj_ids, cls_ids, mcp_params, mcp_cfg,
+                          resolution: float = 0.1,
+                          seed: Optional[int] = None,
+                          verbose: bool = False) -> StagedSamples:
+    from .simulator import apply_seed_augmentation
+
+    rng = np.random.RandomState(seed if seed is not None else 0)
+    acc = _Accumulator()
+    for rid in range(len(rooms)):
+        raw = np.asarray(rooms[rid], np.float64)
+        if seed is not None:
+            raw = apply_seed_augmentation(raw, seed)
+        rf = build_embedding_features(raw, obj_ids[rid], cls_ids[rid],
+                                      mcp_params, mcp_cfg, resolution,
+                                      rng=rng)
+        simulate_room(rf, rng, acc, verbose=verbose,
+                      room_tag=f"room {rid}")
+    return acc.finalize()
+
+
+def embedding_staged_path(data_dir: str, area: str,
+                          seed: Optional[int]) -> str:
+    """Naming per ``stage_embedding_data.py:225-227``."""
+    if seed is None:
+        return os.path.join(data_dir, f"embedding_area{area}.h5")
+    return os.path.join(data_dir, "multiseed",
+                        f"embedding_seed{seed}_area{area}.h5")

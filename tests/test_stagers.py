@@ -126,3 +126,26 @@ def test_convert_scannet_blocks():
     assert np.abs(batch[:, :, 3:5]).max() <= 1.0
     # room-normalized in [0, 1]
     assert batch[:, :, 9:12].min() >= 0 and batch[:, :, 9:12].max() <= 1 + 1e-9
+
+
+def test_embedding_staging(tiny_rooms):
+    """19-d embedding-conditioned features + staged growth samples."""
+    import jax
+    from learn_region_grow_tpu.data.embedding_staging import (
+        EMBEDDING_FEATURE_SIZE, build_embedding_features,
+        stage_embedding_rooms)
+    from learn_region_grow_tpu.models.mcpnet import MCPNetConfig, init_params
+
+    cfg = MCPNetConfig(num_neighbors=10)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    room = tiny_rooms[0]
+    rf = build_embedding_features(room[:, :6], room[:, 6], room[:, 7],
+                                  params, cfg, resolution=0.1)
+    assert rf.points.shape[1] == EMBEDDING_FEATURE_SIZE
+    # embedding block is L2-normalized per point
+    norms = np.linalg.norm(rf.points[:, 9:19], axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+    staged = stage_embedding_rooms([room[:, :6]], [room[:, 6]],
+                                   [room[:, 7]], params, cfg)
+    assert staged.points.shape[1] == EMBEDDING_FEATURE_SIZE
+    assert staged.num_samples() > 0
