@@ -32,6 +32,9 @@ def log(*args):
 def main():
     import jax
 
+    from learn_region_grow_tpu.engine.grow import enable_compilation_cache
+    enable_compilation_cache()
+
     from learn_region_grow_tpu.core import prepare_room
     from learn_region_grow_tpu.data.synthetic import generate_rooms
     from learn_region_grow_tpu.engine.grow import GrowConfig, segment_rooms
@@ -79,10 +82,10 @@ def main():
     eq_points = sum(len(f.points) for f in feats)
     log(f"feature prep {t_feature:.2f}s ({eq_points} equalized points)")
 
-    # warmup (compile) then measured run
-    segment_rooms(params, mcfg, feats, gcfg)
+    # warmup (compile) then measured run; single bucket => one compile
+    segment_rooms(params, mcfg, feats, gcfg, min_bucket_size=8192)
     t0 = time.time()
-    results = segment_rooms(params, mcfg, feats, gcfg)
+    results = segment_rooms(params, mcfg, feats, gcfg, min_bucket_size=8192)
     t_grow = time.time() - t0
     log(f"grow {t_grow:.2f}s")
 

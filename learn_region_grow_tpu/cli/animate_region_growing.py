@@ -41,6 +41,8 @@ def render_frame(path, xyz, colors, title, azim=-60, elev=30):
 
 
 def main(argv=None):
+    from ..engine.grow import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--area", default="synthetic_test")
     ap.add_argument("--room", type=int, default=0)

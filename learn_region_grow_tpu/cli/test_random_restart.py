@@ -14,6 +14,8 @@ from ..utils.io import load_h5_rooms
 
 
 def main(argv=None):
+    from ..engine.grow import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--area", default="5")
     ap.add_argument("--scoring", default="np", choices=["np", "ml"])

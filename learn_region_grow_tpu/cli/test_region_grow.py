@@ -113,6 +113,8 @@ def run_area(area: str, args) -> list:
 
 
 def main(argv=None):
+    from ..engine.grow import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--area", default="1,2,3,4,5,6,scannet")
     ap.add_argument("--save", action="store_true")

@@ -61,19 +61,32 @@ def estimate_normals_curvature(
     """
     h, counts, sums, outers = voxel_moments(unequalized_xyz, resolution)
     vox = voxel_coords(equalized_xyz, resolution)
-
     n = len(vox)
-    acc_n = np.zeros(n, dtype=np.float64)
-    acc_s = np.zeros((n, 3), dtype=np.float64)
-    acc_o = np.zeros((n, 3, 3), dtype=np.float64)
-    for off in NEIGHBOR_OFFSETS_27:
-        keys, _, _ = pack_voxels(vox + off, h.origin, h.dims)
-        slot = h.lookup(keys)
-        hit = slot >= 0
-        s = slot[hit]
-        acc_n[hit] += counts[s]
-        acc_s[hit] += sums[s]
-        acc_o[hit] += outers[s]
+
+    from ..native import HAVE_NATIVE, moments27
+    if HAVE_NATIVE and n:
+        probes = np.empty((n, 27), np.int64)
+        for oi, off in enumerate(NEIGHBOR_OFFSETS_27):
+            probes[:, oi], _, _ = pack_voxels(vox + off, h.origin, h.dims)
+        acc_n, acc_s, acc_o = moments27(
+            np.ascontiguousarray(h.sorted_keys),
+            np.ascontiguousarray(counts),
+            np.ascontiguousarray(sums),
+            np.ascontiguousarray(outers.reshape(-1, 9)),
+            np.ascontiguousarray(probes))
+        acc_o = acc_o.reshape(n, 3, 3)
+    else:
+        acc_n = np.zeros(n, dtype=np.float64)
+        acc_s = np.zeros((n, 3), dtype=np.float64)
+        acc_o = np.zeros((n, 3, 3), dtype=np.float64)
+        for off in NEIGHBOR_OFFSETS_27:
+            keys, _, _ = pack_voxels(vox + off, h.origin, h.dims)
+            slot = h.lookup(keys)
+            hit = slot >= 0
+            s = slot[hit]
+            acc_n[hit] += counts[s]
+            acc_s[hit] += sums[s]
+            acc_o[hit] += outers[s]
 
     # every point's own voxel is occupied, so acc_n >= 1
     inv = 1.0 / acc_n

@@ -38,10 +38,22 @@ def neighbor_sets(points: np.ndarray, num_neighbors: int = 50,
     n = len(points)
     h = build_voxel_hash(points[:, :3], neighbor_radii)
     vox = voxel_coords(points[:, :3], neighbor_radii)
-    # coarse voxel -> list of member (equalized) point indices
     out = np.zeros((n, num_neighbors, 6), dtype=np.float64)
 
-    # candidate neighbor ids per point: members of the 27 coarse voxels
+    from ..native import HAVE_NATIVE, neighbor_gather
+    if HAVE_NATIVE and n:
+        probes = np.empty((n, 27), np.int64)
+        for oi, off in enumerate(NEIGHBOR_OFFSETS_27):
+            probes[:, oi], _, _ = pack_voxels(vox + off, h.origin, h.dims)
+        sel = neighbor_gather(np.ascontiguousarray(h.sorted_keys),
+                              np.ascontiguousarray(h.slot_start),
+                              np.ascontiguousarray(h.member_idx),
+                              np.ascontiguousarray(probes),
+                              num_neighbors, int(rng.randint(1, 2 ** 31)))
+        out[:] = points[sel, :6] - points[:, None, :6]
+        return out
+
+    # NumPy fallback: candidate neighbor ids per point from the 27 voxels
     slot_members = [h.member_idx[h.slot_start[j]:h.slot_start[j + 1]]
                     for j in range(len(h.sorted_keys))]
     slots = np.full((n, 27), -1, np.int64)

@@ -24,8 +24,8 @@ import numpy as np
 
 from ..core.features import RoomFeatures
 from ..models import lrgnet
-from .grow import (GrowConfig, RoomResult, _bucket_size, fill_unlabeled,
-                   single_step_batch)
+from .grow import (GrowConfig, RoomResult, _bucket_size, _wave_keys,
+                   fill_unlabeled, single_step_batch)
 
 
 class _SeedSearch:
@@ -153,9 +153,8 @@ def segment_rooms_beam(params, model_cfg: lrgnet.LrgNetConfig,
                             visited[li] = room_visited[gi]
                             lane_meta[li] = (gi, bi, score)
 
-                rng_keys = jax.vmap(
-                    lambda i: jax.random.fold_in(base_rng, i)
-                )(jnp.arange(L) * 99991 + wave * 1000 + rnd)
+                rng_keys = _wave_keys(
+                    base_rng, jnp.arange(L) * 99991 + wave * 1000 + rnd)
                 t0 = time.time()
                 new_mask, step_lp, updated, no_nb = jax.device_get(
                     single_step_batch(model_cfg, cfg, params, pts_d, vox_d,

@@ -43,6 +43,13 @@ REASON_MAXSTEPS = 4
 REASON_NAMES = {1: "noneighbor", 2: "noexpand", 3: "stuck", 4: "maxsteps"}
 
 
+@jax.jit
+def _wave_keys(base_rng, offsets):
+    """Per-lane PRNG keys; jitted once (a fresh vmap closure per wave costs
+    ~100 ms of host tracing otherwise)."""
+    return jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(offsets)
+
+
 @dataclasses.dataclass(frozen=True)
 class GrowConfig:
     num_inlier: int = 512
@@ -259,6 +266,37 @@ def grow_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig, params,
 
 
 @partial(jax.jit, static_argnums=(0, 1))
+def grow_batch_compact(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
+                       params, points, voxels, valid, flags, seed_idx,
+                       base_rng, wave):
+    """Transfer-minimal wrapper around the grow loop for the axon-tunnel
+    topology: the host<->device round-trip latency dominates at the wave
+    cadence, so per-wave inputs collapse into ONE uint8 flag array
+    (bit0 = visited, bit1 = gt_target) + one int32 seed array (< 0 =
+    inactive lane), PRNG keys derive on device, and outputs collapse into
+    (current (L,P) bool, stats (L, 6) f32 =
+    [steps, reason, log_prob, add_acc, rmv_acc, active])."""
+    lanes = seed_idx.shape[0]
+    visited = (flags & 1).astype(bool)
+    gt_target = (flags & 2).astype(bool)
+    active = seed_idx >= 0
+    rng = _wave_keys(base_rng,
+                     jnp.arange(lanes) * jnp.int32(100003) + wave)
+    final = grow_batch(model_cfg, cfg, params, points, voxels, valid,
+                       gt_target, visited, jnp.maximum(seed_idx, 0), active,
+                       rng)
+    stats = jnp.stack([
+        final.steps.astype(jnp.float32),
+        final.reason.astype(jnp.float32),
+        final.log_prob,
+        final.add_acc,
+        final.rmv_acc,
+        active.astype(jnp.float32),
+    ], axis=1)
+    return final.current, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1))
 def single_step_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
                       params, points, voxels, valid, visited, mask, active,
                       rng):
@@ -326,6 +364,15 @@ def _bucket_size(n: int, minimum: int = 1024) -> int:
     return p
 
 
+def enable_compilation_cache(path: str = "/tmp/lrg_tpu_jit_cache"):
+    """Persist XLA compilations across processes — grow_batch compiles are
+    expensive through the remote-compile tunnel (tens of seconds each)."""
+    import os
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def fill_unlabeled(points: np.ndarray, cluster_label: np.ndarray) -> np.ndarray:
     """Assign unlabeled points the label of the nearest labeled point in
     full feature space (``test_region_grow.py:308-316``)."""
@@ -341,23 +388,59 @@ def fill_unlabeled(points: np.ndarray, cluster_label: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pick_wave_seeds(order: np.ndarray, unvisited: np.ndarray,
+                     voxels: np.ndarray, k: int,
+                     min_sep: int) -> List[int]:
+    """Up to k unvisited seeds in curvature order, mutually separated by at
+    least ``min_sep`` voxels (Chebyshev) so parallel regions rarely collide."""
+    seeds: List[int] = []
+    for s in order:
+        if not unvisited[s]:
+            continue
+        if seeds and min_sep > 0:
+            d = np.abs(voxels[seeds] - voxels[s]).max(axis=1)
+            if (d < min_sep).any():
+                continue
+        seeds.append(int(s))
+        if len(seeds) == k:
+            break
+    if not seeds:
+        # fall back to the single lowest-curvature unvisited seed
+        cand = order[unvisited[order]]
+        if len(cand):
+            seeds = [int(cand[0])]
+    return seeds
+
+
 def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                   rooms: List[RoomFeatures], cfg: GrowConfig,
                   verbose: bool = False,
                   num_restarts: int = 1,
-                  scoring: str = "np") -> List[RoomResult]:
+                  scoring: str = "np",
+                  num_parallel_seeds: int = 1,
+                  seed_separation: int = 12,
+                  min_bucket_size: int = 1024) -> List[RoomResult]:
     """Segment every room: all rooms of a padded-size bucket advance in
-    parallel lanes, one (curvature-ordered) seed per room per wave.
+    parallel lanes, ``num_parallel_seeds`` curvature-ordered seeds per room
+    per wave.
 
     ``num_restarts > 1`` reproduces the random-restart local-search variant
     (reference ``test_random_restart.py:169-197``) with all restarts as
     EXTRA PARALLEL LANES instead of the reference's serial re-runs; the best
     mask per seed is kept by ``scoring``: ``np`` = mask point count, ``ml``
     = cumulative decision log-prob.
+
+    ``num_parallel_seeds > 1`` relaxes the reference's strictly sequential
+    seed processing: several spatially separated seeds grow concurrently and
+    commit in curvature-priority order (earlier seeds win overlaps; a seed
+    swallowed by an earlier commit is discarded, as it would have been
+    skipped by the reference's visited check). SURVEY.md §7 hard-part #1;
+    validate NMI/AMI when raising it.
     """
     buckets: Dict[int, List[int]] = {}
     for i, rf in enumerate(rooms):
-        buckets.setdefault(_bucket_size(len(rf.points)), []).append(i)
+        buckets.setdefault(_bucket_size(len(rf.points), min_bucket_size),
+                           []).append(i)
 
     results: List[Optional[RoomResult]] = [None] * len(rooms)
     base_rng = jax.random.PRNGKey(cfg.seed)
@@ -365,7 +448,8 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
     for psize, room_ids in sorted(buckets.items()):
         t_setup = time.time()
         R = num_restarts
-        lanes = len(room_ids) * R
+        K = num_parallel_seeds
+        lanes = len(room_ids) * K * R
         f = cfg.feature_size
         pts = np.zeros((lanes, psize, f), np.float32)
         vox = np.zeros((lanes, psize, 3), np.int32)
@@ -374,8 +458,8 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
         for gi, ri in enumerate(room_ids):
             rf = rooms[ri]
             n = len(rf.points)
-            for r in range(R):
-                li = gi * R + r
+            for kr in range(K * R):
+                li = gi * K * R + kr
                 pts[li, :n] = rf.points
                 vox[li, :n] = rf.voxels
                 valid[li, :n] = True
@@ -397,90 +481,97 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
         wave = 0
 
         while True:
-            seed_idx = np.zeros(lanes, np.int32)
-            active = np.zeros(lanes, bool)
-            targets = np.zeros((lanes, psize), bool)
-            visited = np.ones((lanes, psize), bool)
+            seed_idx = np.full(lanes, -1, np.int32)
+            flags = np.zeros((lanes, psize), np.uint8)
+            gt_counts = np.zeros(lanes, np.int64)
+            wave_seeds: List[List[int]] = [[] for _ in room_ids]
             for gi, ri in enumerate(room_ids):
                 n = len(rooms[ri].points)
                 unvisited = ~room_visited[gi][:n]
                 if not unvisited.any():
                     continue
-                order = curv_order[gi]
-                cand = order[unvisited[order]]
-                s = int(cand[0])
-                tgt = rooms[ri].obj_id == rooms[ri].obj_id[s]
-                for r in range(R):
-                    li = gi * R + r
-                    seed_idx[li] = s
-                    active[li] = True
-                    targets[li, :n] = tgt
-                    visited[li] = room_visited[gi]
-            if not active.any():
+                seeds = _pick_wave_seeds(curv_order[gi], unvisited,
+                                         rooms[ri].voxels, K,
+                                         seed_separation if K > 1 else 0)
+                wave_seeds[gi] = seeds
+                vis_u8 = room_visited[gi].astype(np.uint8)
+                for ki, s in enumerate(seeds):
+                    tgt = rooms[ri].obj_id == rooms[ri].obj_id[s]
+                    gt_cnt = int(tgt.sum())
+                    lane_flags = vis_u8.copy()
+                    lane_flags[:n] |= tgt.astype(np.uint8) << 1
+                    for r in range(R):
+                        li = (gi * K + ki) * R + r
+                        seed_idx[li] = s
+                        flags[li] = lane_flags
+                        gt_counts[li] = gt_cnt
+            if not (seed_idx >= 0).any():
                 break
 
-            rng_keys = jax.vmap(
-                lambda i: jax.random.fold_in(base_rng, i)
-            )(jnp.arange(lanes) * 100003 + wave)
             t0 = time.time()
-            final = grow_batch(model_cfg, cfg, params, pts_d, vox_d, valid_d,
-                               jax.device_put(targets),
-                               jax.device_put(visited),
-                               jnp.asarray(seed_idx), jnp.asarray(active),
-                               rng_keys)
-            final = jax.device_get(final)
+            cur, stats = grow_batch_compact(
+                model_cfg, cfg, params, pts_d, vox_d, valid_d,
+                jax.device_put(flags), jnp.asarray(seed_idx), base_rng,
+                jnp.int32(wave))
+            cur = np.asarray(jax.device_get(cur))
+            stats = np.asarray(jax.device_get(stats))
             net_time += time.time() - t0
 
             for gi, ri in enumerate(room_ids):
-                li0 = gi * R
-                if not active[li0]:
-                    continue
                 n = len(rooms[ri].points)
-                # pick the best restart lane by the scoring rule
-                if R == 1:
-                    best = li0
-                else:
-                    counts = [final.current[li0 + r, :n].sum()
-                              for r in range(R)]
-                    if scoring == "ml":
-                        scores = [float(final.log_prob[li0 + r])
-                                  for r in range(R)]
+                # commit seeds in curvature-priority order
+                for ki, s in enumerate(wave_seeds[gi]):
+                    li0 = (gi * K + ki) * R
+                    if seed_idx[li0] < 0:
+                        continue
+                    if ki > 0 and room_visited[gi][s]:
+                        continue  # swallowed by an earlier commit this wave
+                    # pick the best restart lane by the scoring rule
+                    if R == 1:
+                        best = li0
                     else:
-                        scores = counts
-                    best = li0 + int(np.argmax(scores))
-                mask = final.current[best, :n].astype(bool)
-                # a lane always commits: visited over its mask (reference
-                # stop_growing marks visited regardless of cluster size)
-                if not mask.any():
-                    mask = np.zeros(n, bool)
-                    mask[seed_idx[li0]] = True
-                room_visited[gi][:n] |= mask
-                cnt = int(mask.sum())
-                rec = {
-                    "target": int(rooms[ri].obj_id[seed_idx[li0]]),
-                    "steps": int(final.steps[best]),
-                    "points": cnt,
-                    "gt_points": int(targets[li0, :n].sum()),
-                    "reason": REASON_NAMES.get(int(final.reason[best]), "?"),
-                    "add_acc": float(final.add_acc[best]),
-                    "rmv_acc": float(final.rmv_acc[best]),
-                    "log_prob": float(final.log_prob[best]),
-                }
-                if cnt > cfg.cluster_threshold:
-                    cluster_label[gi][mask] = cluster_id[gi]
-                    cluster_id[gi] += 1
-                    rec["kept"] = True
-                else:
-                    rec["kept"] = False
-                inst_logs[gi].append(rec)
-                if verbose:
-                    gt = targets[li0, :n]
-                    iou = (mask & gt).sum() / max(1, (mask | gt).sum())
-                    print("room %d target %3d: step %3d %4d/%4d points "
-                          "IOU %.3f add %.3f rmv %.3f %s" % (
-                              ri, rec["target"], rec["steps"], cnt,
-                              rec["gt_points"], iou, rec["add_acc"],
-                              rec["rmv_acc"], rec["reason"]))
+                        if scoring == "ml":
+                            scores = [stats[li0 + r, 2] for r in range(R)]
+                        else:
+                            scores = [int(cur[li0 + r, :n].sum())
+                                      for r in range(R)]
+                        best = li0 + int(np.argmax(scores))
+                    mask = cur[best, :n].astype(bool)
+                    mask &= ~room_visited[gi][:n]  # earlier commits win
+                    # a lane always commits: visited over its mask (reference
+                    # stop_growing marks visited regardless of cluster size)
+                    if not mask.any():
+                        mask = np.zeros(n, bool)
+                        mask[s] = True
+                        if room_visited[gi][s]:
+                            continue
+                    room_visited[gi][:n] |= mask
+                    cnt = int(mask.sum())
+                    rec = {
+                        "target": int(rooms[ri].obj_id[s]),
+                        "steps": int(stats[best, 0]),
+                        "points": cnt,
+                        "gt_points": int(gt_counts[li0]),
+                        "reason": REASON_NAMES.get(int(stats[best, 1]), "?"),
+                        "add_acc": float(stats[best, 3]),
+                        "rmv_acc": float(stats[best, 4]),
+                        "log_prob": float(stats[best, 2]),
+                    }
+                    if cnt > cfg.cluster_threshold:
+                        cluster_label[gi][mask] = cluster_id[gi]
+                        cluster_id[gi] += 1
+                        rec["kept"] = True
+                    else:
+                        rec["kept"] = False
+                    inst_logs[gi].append(rec)
+                    if verbose:
+                        gt = (flags[li0, :n] & 2).astype(bool)
+                        iou = (mask & gt).sum() / max(1, (mask | gt).sum())
+                        print("room %d target %3d: step %3d %4d/%4d points "
+                              "IOU %.3f add %.3f rmv %.3f %s" % (
+                                  ri, rec["target"], rec["steps"], cnt,
+                                  rec["gt_points"], iou, rec["add_acc"],
+                                  rec["rmv_acc"], rec["reason"]))
             wave += 1
 
         for gi, ri in enumerate(room_ids):
