@@ -112,13 +112,19 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (xs[lo] + xs[hi])
 
 
-def _recenter_offset(center: jnp.ndarray, feature_size: int) -> jnp.ndarray:
-    """The reference recenters xy and feature cols 6: by the inlier median
-    (``test_region_grow.py:241-247``); z and room-coords stay absolute."""
-    keep = np.zeros(feature_size, np.float32)
-    keep[:2] = 1.0
-    keep[6:] = 1.0
-    return center * jnp.asarray(keep)
+def _recenter_cols(feature_size: int) -> np.ndarray:
+    """Columns the reference recenters by the inlier median: xy + feature
+    cols 6: (``test_region_grow.py:241-247``); z and room-coords stay
+    absolute. The median is computed ONLY over these columns (the sort is
+    the grow step's hottest op)."""
+    return np.array([0, 1] + list(range(6, feature_size)), np.int32)
+
+
+def _recenter_offset(median_sub: jnp.ndarray, feature_size: int
+                     ) -> jnp.ndarray:
+    """Scatter the reduced median vector back to a full-width offset."""
+    cols = _recenter_cols(feature_size)
+    return jnp.zeros(feature_size, median_sub.dtype).at[cols].set(median_sub)
 
 
 def make_grow_step(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig):
@@ -140,7 +146,8 @@ def make_grow_step(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig):
         in_idx = masked_sample(r_in, state.current, cfg.num_inlier)
         nb_idx = masked_sample(r_nb, neighbor_mask, cfg.num_neighbor)
 
-        center = masked_median(points, state.current)
+        cols = jnp.asarray(_recenter_cols(f))
+        center = masked_median(jnp.take(points, cols, axis=1), state.current)
         offset = _recenter_offset(center, f)
         inlier_pts = points[in_idx] - offset
         neighbor_pts = points[nb_idx] - offset
@@ -319,7 +326,8 @@ def single_step_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
         r_in, r_nb, r_add, r_rmv = jax.random.split(key, 4)
         in_idx = masked_sample(r_in, mk, cfg.num_inlier)
         nb_idx = masked_sample(r_nb, neighbor_mask, cfg.num_neighbor)
-        center = masked_median(pt, mk)
+        cols = jnp.asarray(_recenter_cols(f))
+        center = masked_median(jnp.take(pt, cols, axis=1), mk)
         offset = _recenter_offset(center, f)
         out = lrgnet.forward(params, (pt[in_idx] - offset)[None],
                              (pt[nb_idx] - offset)[None], model_cfg)

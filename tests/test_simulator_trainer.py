@@ -119,3 +119,21 @@ def test_train_with_completeness_head(staged):
     assert np.isfinite(comps).all()
     # regression target is an IoU in [0,1]; MSE must stay bounded
     assert np.mean(comps[-3:]) < 0.5
+
+
+def test_bfloat16_compute_path(staged):
+    """bf16 compute dtype: finite loss, learns on a few steps."""
+    import jax
+    cfg = TrainConfig(batch_size=8, num_inlier=64, num_neighbor=64,
+                      multiseed=0, compute_dtype="bfloat16")
+    ss = SampleSet(*staged.split())
+    init_fn, train_step, _ = make_train_step(cfg)
+    params, opt = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    losses = []
+    for _ in range(10):
+        idx = rng.choice(len(ss), 8, replace=False)
+        params, opt, m = train_step(params, opt, ss.batch(idx, 64, 64, rng))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
