@@ -71,7 +71,7 @@ def main():
     mcfg = lrgnet.LrgNetConfig(feature_size=13)
     gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=200)
 
-    eval_rooms = generate_rooms(6, seed=42, scale=0.5)
+    eval_rooms = generate_rooms(6, seed=42, scale=0.6)
     raw_points = sum(len(r) for r in eval_rooms)
     log(f"{len(eval_rooms)} eval rooms, {raw_points} raw points")
 

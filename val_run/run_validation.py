@@ -22,37 +22,39 @@ enable_compilation_cache()
 from learn_region_grow_tpu.data.synthetic import generate_rooms
 from learn_region_grow_tpu.utils.io import save_h5_rooms
 
+STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
 t0 = time.time()
-# 1. areas: 1,2 train (4 rooms each), 5 test (4 rooms)
-rooms = generate_rooms(12, seed=7, scale=0.6)
-for area, sl in [("1", slice(0,4)), ("2", slice(4,8)), ("5", slice(8,12))]:
-    save_h5_rooms(os.path.join(DATA, f"s3dis_area{area}.h5"), rooms[sl])
-print("generated areas in %.1fs" % (time.time()-t0), flush=True)
 
-# 2. staging
-from learn_region_grow_tpu.cli import stage_data as sd
-for seed in range(4):
-    sd.main(["--area", "1,2", "--seed", str(seed), "--data-dir", DATA])
-sd.main(["--area", "5", "--data-dir", DATA])
-print("staging done %.1fs" % (time.time()-t0), flush=True)
+if STAGE in ("all", "data"):
+    # 1. areas: 1,2 train (4 rooms each), 5 test (4 rooms)
+    rooms = generate_rooms(12, seed=7, scale=0.6)
+    for area, sl in [("1", slice(0,4)), ("2", slice(4,8)), ("5", slice(8,12))]:
+        save_h5_rooms(os.path.join(DATA, f"s3dis_area{area}.h5"), rooms[sl])
+    print("generated areas in %.1fs" % (time.time()-t0), flush=True)
+    from learn_region_grow_tpu.cli import stage_data as sd
+    for seed in range(4):
+        sd.main(["--area", "1,2", "--seed", str(seed), "--data-dir", DATA])
+    sd.main(["--area", "5", "--data-dir", DATA])
+    print("staging done %.1fs" % (time.time()-t0), flush=True)
 
-# 3. training (multiseed reload + val epochs)
-from learn_region_grow_tpu.cli import train_region_grow as trg
-log = io.StringIO()
 class Tee:
     def __init__(self, *s): self.s = s
     def write(self, x): [f.write(x) for f in self.s]
     def flush(self): [f.flush() for f in self.s]
 old = sys.stdout
-sys.stdout = Tee(old, log)
-trg.main(["--train-area", "1,2", "--val-area", "5", "--multiseed", "4",
-          "--batch-size", "32", "--epochs", "21",
-          "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
-sys.stdout = old
-open(os.path.join(RESULTS, "train_area5.txt"), "w").write(log.getvalue())
-print("training done %.1fs" % (time.time()-t0), flush=True)
 
-# 4. evaluation: greedy / beam / restart
+if STAGE in ("all", "train"):
+    from learn_region_grow_tpu.cli import train_region_grow as trg
+    log = io.StringIO()
+    sys.stdout = Tee(old, log)
+    trg.main(["--train-area", "1,2", "--val-area", "5", "--multiseed", "4",
+              "--batch-size", "32", "--epochs", "21",
+              "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
+    sys.stdout = old
+    open(os.path.join(RESULTS, "train_area5.txt"), "w").write(log.getvalue())
+    print("training done %.1fs" % (time.time()-t0), flush=True)
+
+# evaluation: greedy / beam / restart — each selectable as its own stage
 from learn_region_grow_tpu.cli import test_region_grow as tst
 from learn_region_grow_tpu.cli import test_beam_search as tbs
 from learn_region_grow_tpu.cli import test_random_restart as trr
@@ -70,6 +72,8 @@ for name, mod, argv in [
                                      "--num-restarts", "5",
                                      "--data-dir", DATA, "--models-dir", MODELS]),
 ]:
+    if STAGE not in ("all", "eval", name):
+        continue
     log = io.StringIO()
     sys.stdout = Tee(old, log)
     t = time.time()
