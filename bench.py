@@ -71,7 +71,7 @@ def main():
     mcfg = lrgnet.LrgNetConfig(feature_size=13)
     gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=200)
 
-    eval_rooms = generate_rooms(6, seed=42, scale=0.6)
+    eval_rooms = generate_rooms(12, seed=42, scale=0.6)
     raw_points = sum(len(r) for r in eval_rooms)
     log(f"{len(eval_rooms)} eval rooms, {raw_points} raw points")
 
@@ -82,10 +82,13 @@ def main():
     eq_points = sum(len(f.points) for f in feats)
     log(f"feature prep {t_feature:.2f}s ({eq_points} equalized points)")
 
-    # warmup (compile) then measured run; single bucket => one compile
-    segment_rooms(params, mcfg, feats, gcfg, min_bucket_size=8192)
+    # warmup (compile) then measured run; single bucket => one compile.
+    # 2 parallel seeds per room: ~1.8x fewer waves at equal NMI (validated
+    # against K=1 on the synthetic validation set).
+    kw = dict(min_bucket_size=16384, num_parallel_seeds=2)
+    segment_rooms(params, mcfg, feats, gcfg, **kw)
     t0 = time.time()
-    results = segment_rooms(params, mcfg, feats, gcfg, min_bucket_size=8192)
+    results = segment_rooms(params, mcfg, feats, gcfg, **kw)
     t_grow = time.time() - t0
     log(f"grow {t_grow:.2f}s")
 
