@@ -77,3 +77,19 @@ def test_segment_rooms_batches_multiple_rooms(tiny_rooms, trained):
     gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
     results = segment_rooms(params, mcfg, rfs, gcfg)
     assert all(r is not None and (r.cluster_label > 0).all() for r in results)
+
+
+def test_segment_rooms_scheduled_matches_quality(tiny_rooms, trained):
+    """The lane-scheduled engine reaches the same quality as the wave
+    engine on the synthetic fixture."""
+    from learn_region_grow_tpu.engine.grow import segment_rooms_scheduled
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+    results = segment_rooms_scheduled(params, mcfg, [rf], gcfg,
+                                      slots_per_room=2, chunk_steps=24)
+    lbl = results[0].cluster_label
+    assert (lbl > 0).all()
+    m, _ = room_metrics(rf.obj_id, lbl)
+    assert m.nmi > 0.5, m
