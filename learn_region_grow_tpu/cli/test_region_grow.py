@@ -15,7 +15,7 @@ import numpy as np
 
 from ..core.features import prepare_room
 from ..engine.grow import GrowConfig, segment_rooms
-from ..eval.metrics import RoomMetrics, aggregate_line, room_metrics
+from ..eval.metrics import aggregate_line, room_metrics
 from ..models import lrgnet
 from ..train.checkpoint import load_checkpoint, lrgnet_model_path
 from ..utils.io import load_h5_rooms, save_ply

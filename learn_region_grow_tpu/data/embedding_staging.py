@@ -13,7 +13,7 @@ rule — xy + feature cols 6: — matches the reference's).
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -22,7 +22,7 @@ from ..core.normals import estimate_normals_curvature
 from ..core.voxel import equalize_resolution, voxel_coords
 from .mcp_staging import neighbor_sets
 from .simulator import _Accumulator, simulate_room
-from ..utils.io import StagedSamples, save_staged_h5
+from ..utils.io import StagedSamples
 
 EMBEDDING_FEATURE_SIZE = 19
 

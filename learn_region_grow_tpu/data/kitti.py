@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..core.voxel import equalize_resolution, pack_voxels, voxel_coords
+from ..core.voxel import equalize_resolution, voxel_coords
 from ..eval.components import voxel_adjacency_edges
 from ..utils.io import save_h5_rooms
 import scipy.sparse as sp

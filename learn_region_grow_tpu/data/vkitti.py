@@ -18,8 +18,8 @@ import numpy as np
 import scipy.sparse as sp
 from scipy.sparse.csgraph import connected_components as _cc
 
-from ..core.voxel import (NEIGHBOR_OFFSETS_27, build_voxel_hash,
-                          equalize_resolution, pack_voxels, voxel_coords)
+from ..core.voxel import (NEIGHBOR_OFFSETS_27, equalize_resolution,
+                          pack_voxels, voxel_coords)
 from ..utils.io import save_h5_rooms
 
 

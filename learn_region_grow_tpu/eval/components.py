@@ -8,7 +8,7 @@ candidates come from vectorized voxel-hash lookups and components from
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp
