@@ -93,3 +93,52 @@ def test_segment_rooms_scheduled_matches_quality(tiny_rooms, trained):
     assert (lbl > 0).all()
     m, _ = room_metrics(rf.obj_id, lbl)
     assert m.nmi > 0.5, m
+
+
+def test_grow_chunk_state_roundtrip(tiny_rooms, trained):
+    """grow_chunk resumes exactly: two 10-step chunks == one 20-step run
+    when no lane terminates in between (same PRNG stream via packed state)."""
+    import jax
+    import jax.numpy as jnp
+    from learn_region_grow_tpu.engine.grow import grow_chunk
+    from learn_region_grow_tpu.data.synthetic import generate_rooms
+    params, mcfg = trained
+    room = generate_rooms(1, seed=3, scale=0.12)[0]   # few hundred points
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    n = len(rf.points)
+    P = 1024
+    pts = np.zeros((1, P, 13), np.float32)
+    pts[0, :n] = rf.points
+    vox = np.zeros((1, P, 3), np.int32)
+    vox[0, :n] = rf.voxels
+    valid = np.zeros((1, P), bool)
+    valid[0, :n] = True
+    seed = int(np.argsort(rf.curvatures)[0])
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=500)
+
+    def init_arrays():
+        flags = (~valid).astype(np.uint8)
+        flags[0, :n] |= ((rf.obj_id == rf.obj_id[seed]).astype(np.uint8) << 1)
+        flags[0, seed] |= 4
+        ints = np.zeros((1, 16), np.int32)
+        ints[0, 0:12] = np.tile(rf.voxels[seed], 4)
+        floats = np.zeros((1, 3), np.float32)
+        rngs = np.array(jax.random.split(jax.random.PRNGKey(7), 1))
+        return flags, ints, floats, rngs
+
+    def run(chunks):
+        flags, ints, floats, rngs = init_arrays()
+        cur = None
+        for c in chunks:
+            cur, ints, floats, rngs = [np.asarray(jax.device_get(x)) for x in
+                grow_chunk(mcfg, gcfg, c, params, jnp.asarray(pts),
+                           jnp.asarray(vox), jnp.asarray(valid),
+                           jnp.asarray(flags), jnp.asarray(ints),
+                           jnp.asarray(floats), jnp.asarray(rngs))]
+            flags = (flags & ~np.uint8(4)) | (cur.astype(np.uint8) << 2)
+        return cur, ints
+
+    cur_a, ints_a = run([20])
+    cur_b, ints_b = run([10, 10])
+    np.testing.assert_array_equal(cur_a, cur_b)
+    np.testing.assert_array_equal(ints_a, ints_b)
