@@ -59,6 +59,14 @@ class GrowConfig:
     cluster_threshold: int = 10
     max_steps: int = 500
     seed: int = 0
+    # Fast path for the two latency-dominant selection ops (see
+    # docs/pallas_grow_kernel_design.md): masked resampling via the Pallas
+    # stratified rank-matching kernel (ops/masked_select.py; ~94%-unique
+    # stratified draws instead of exact without-replacement) and recentering
+    # by the median of the 512 SAMPLED inliers instead of the full cloud
+    # (quantile error ~1/sqrt(512)). OFF by default (exact reference
+    # semantics); quality-validated on the synthetic record before use.
+    pallas_sampling: bool = False
 
 
 class LaneState(NamedTuple):
@@ -143,11 +151,23 @@ def make_grow_step(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig):
         nb_cnt = jnp.sum(neighbor_mask)
         no_neighbor = nb_cnt == 0
 
-        in_idx = masked_sample(r_in, state.current, cfg.num_inlier)
-        nb_idx = masked_sample(r_nb, neighbor_mask, cfg.num_neighbor)
-
         cols = jnp.asarray(_recenter_cols(f))
-        center = masked_median(jnp.take(points, cols, axis=1), state.current)
+        if cfg.pallas_sampling and jax.default_backend() == "tpu":
+            from ..ops.masked_select import masked_sample_stratified_one
+            in_idx = masked_sample_stratified_one(
+                state.current, jax.random.uniform(r_in, (1, cfg.num_inlier)),
+                cfg.num_inlier)
+            nb_idx = masked_sample_stratified_one(
+                neighbor_mask,
+                jax.random.uniform(r_nb, (1, cfg.num_neighbor)),
+                cfg.num_neighbor)
+            center = jnp.median(jnp.take(points[in_idx], cols, axis=1),
+                                axis=0)
+        else:
+            in_idx = masked_sample(r_in, state.current, cfg.num_inlier)
+            nb_idx = masked_sample(r_nb, neighbor_mask, cfg.num_neighbor)
+            center = masked_median(jnp.take(points, cols, axis=1),
+                                   state.current)
         offset = _recenter_offset(center, f)
         inlier_pts = points[in_idx] - offset
         neighbor_pts = points[nb_idx] - offset
