@@ -161,3 +161,20 @@ def test_knn_point(clouds):
     d2 = np.sum((xyz2[:, :, None] - xyz1[:, None]) ** 2, -1)
     want = np.sort(d2, axis=-1)[..., :4]
     np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-5)
+
+
+def test_masked_sample_stratified_kernel_interpret():
+    """Pallas stratified sampler (interpret mode) vs jnp oracle."""
+    from learn_region_grow_tpu.ops.masked_select import (
+        masked_sample_stratified_one, masked_sample_stratified_ref)
+    rng = np.random.RandomState(0)
+    P, K = 2048, 512
+    for density in (0.4, 0.04):
+        mask = rng.rand(P) < density
+        u = rng.rand(1, K).astype(np.float32)
+        idx = np.asarray(masked_sample_stratified_one(
+            jnp.asarray(mask), jnp.asarray(u), K, interpret=True))
+        want = np.asarray(masked_sample_stratified_ref(
+            jnp.asarray(mask), jnp.asarray(u[0]), K))
+        np.testing.assert_array_equal(np.sort(idx), np.sort(want))
+        assert mask[idx].all()
