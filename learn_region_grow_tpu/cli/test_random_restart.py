@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--num-neighbor", type=int, default=512)
     ap.add_argument("--cluster-threshold", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fast", action="store_true",
+                    help="Pallas stratified sampling + sampled-subset median "
+                         "(validated ~equal NMI, ~1.4x faster; TPU only)")
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--models-dir", default="models")
     ap.add_argument("--model", default=None)

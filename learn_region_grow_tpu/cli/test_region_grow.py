@@ -76,7 +76,7 @@ def run_area(area: str, args) -> list:
                       feature_size=args.feature_size,
                       resolution=args.resolution,
                       cluster_threshold=args.cluster_threshold,
-                      seed=args.seed)
+                      seed=args.seed, pallas_sampling=args.fast)
     t_grow = time.time()
     results = segment_rooms(params, mcfg, feats, gcfg, verbose=args.verbose,
                             num_parallel_seeds=args.parallel_seeds)
@@ -128,6 +128,9 @@ def main(argv=None):
     ap.add_argument("--num-neighbor", type=int, default=512)
     ap.add_argument("--cluster-threshold", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fast", action="store_true",
+                    help="Pallas stratified sampling + sampled-subset median "
+                         "(validated ~equal NMI, ~1.4x faster; TPU only)")
     ap.add_argument("--parallel-seeds", type=int, default=1,
                     help=">1 grows several separated seeds per room per "
                          "wave (priority commit; ~Kx faster, validate NMI)")
