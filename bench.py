@@ -72,7 +72,7 @@ def main():
     # pallas_sampling: stratified rank-matching kernel + sampled-subset
     # median (quality-validated: NMI 0.953 vs 0.957 exact on this workload)
     gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=200,
-                      pallas_sampling=True)
+                      pallas_sampling=True, track_accuracy=False)
 
     eval_rooms = generate_rooms(12, seed=42, scale=0.6)
     raw_points = sum(len(r) for r in eval_rooms)
@@ -88,7 +88,7 @@ def main():
     # warmup (compile) then measured run; single bucket => one compile.
     # 2 parallel seeds per room: ~1.8x fewer waves at equal NMI (validated
     # against K=1 on the synthetic validation set).
-    kw = dict(min_bucket_size=16384, num_parallel_seeds=2)
+    kw = dict(min_bucket_size=16384, num_parallel_seeds=2, tail_seeds=16)
     segment_rooms(params, mcfg, feats, gcfg, **kw)
     t0 = time.time()
     results = segment_rooms(params, mcfg, feats, gcfg, **kw)

@@ -67,6 +67,9 @@ class GrowConfig:
     # (quantile error ~1/sqrt(512)). OFF by default (exact reference
     # semantics); quality-validated on the synthetic record before use.
     pallas_sampling: bool = False
+    # per-step GT add/remove accuracies feed only the reference's
+    # per-instance log line; skipping them saves two random gathers/iter
+    track_accuracy: bool = True
 
 
 class LaneState(NamedTuple):
@@ -187,12 +190,17 @@ def make_grow_step(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig):
         )
 
         # GT-vs-prediction accuracies for the reference's per-instance log line
-        add_labels = gt_target[nb_idx]
-        rmv_labels = ~gt_target[in_idx]
-        add_pred = out["add_logits"][0, :, 1] > out["add_logits"][0, :, 0]
-        rmv_pred = out["remove_logits"][0, :, 1] > out["remove_logits"][0, :, 0]
-        add_acc = jnp.mean((add_pred == add_labels).astype(jnp.float32))
-        rmv_acc = jnp.mean((rmv_pred == rmv_labels).astype(jnp.float32))
+        if cfg.track_accuracy:
+            add_labels = gt_target[nb_idx]
+            rmv_labels = ~gt_target[in_idx]
+            add_pred = out["add_logits"][0, :, 1] > out["add_logits"][0, :, 0]
+            rmv_pred = (out["remove_logits"][0, :, 1]
+                        > out["remove_logits"][0, :, 0])
+            add_acc = jnp.mean((add_pred == add_labels).astype(jnp.float32))
+            rmv_acc = jnp.mean((rmv_pred == rmv_labels).astype(jnp.float32))
+        else:
+            add_acc = jnp.float32(0.0)
+            rmv_acc = jnp.float32(0.0)
 
         # scatter decisions back to the full cloud (equalized points are
         # unique voxels, so index scatter == the reference's voxel-set update)
@@ -321,6 +329,45 @@ def grow_batch_compact(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
         active.astype(jnp.float32),
     ], axis=1)
     return final.current, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def grow_batch_rooms(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
+                     reps: int, params, pts_rooms, vox_rooms, valid_rooms,
+                     obj_rooms, visited_rooms, seed_idx, base_rng, wave):
+    """Room-indexed, transfer-minimal wave API: per-wave host uploads shrink
+    to ONE per-room visited byte-mask (G, P) + the seed vector; lane
+    expansion (x ``reps`` seeds/restarts per room), gt-target derivation
+    (obj == obj[seed]) and initial masks all happen ON DEVICE, and the
+    result masks return BIT-PACKED ((L, P/8) uint8, 8x smaller). At wide
+    tail phases this cuts wave overhead ~10x vs grow_batch_compact.
+    """
+    g, p, _f = pts_rooms.shape
+    lanes = g * reps
+    points = jnp.repeat(pts_rooms, reps, axis=0)
+    voxels = jnp.repeat(vox_rooms, reps, axis=0)
+    valid = jnp.repeat(valid_rooms, reps, axis=0)
+    obj = jnp.repeat(obj_rooms, reps, axis=0)
+    visited = jnp.repeat(visited_rooms.astype(bool), reps, axis=0)
+    active = seed_idx >= 0
+    seed_safe = jnp.maximum(seed_idx, 0)
+    seed_obj = jnp.take_along_axis(obj, seed_safe[:, None], axis=1)
+    gt_target = obj == seed_obj
+    rng = _wave_keys(base_rng, jnp.arange(lanes) * jnp.int32(100003) + wave)
+    final = grow_batch(model_cfg, cfg, params, points, voxels, valid,
+                       gt_target, visited, seed_safe, active, rng)
+    stats = jnp.stack([
+        final.steps.astype(jnp.float32),
+        final.reason.astype(jnp.float32),
+        final.log_prob,
+        final.add_acc,
+        final.rmv_acc,
+        active.astype(jnp.float32),
+    ], axis=1)
+    packed = (final.current.reshape(lanes, p // 8, 8).astype(jnp.uint8)
+              * jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+              ).sum(axis=2).astype(jnp.uint8)
+    return packed, stats
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -496,7 +543,9 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                   scoring: str = "np",
                   num_parallel_seeds: int = 1,
                   seed_separation: int = 12,
-                  min_bucket_size: int = 1024) -> List[RoomResult]:
+                  min_bucket_size: int = 1024,
+                  tail_seeds: int = 0,
+                  tail_threshold_steps: int = 4) -> List[RoomResult]:
     """Segment every room: all rooms of a padded-size bucket advance in
     parallel lanes, ``num_parallel_seeds`` curvature-ordered seeds per room
     per wave.
@@ -513,6 +562,13 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
     swallowed by an earlier commit is discarded, as it would have been
     skipped by the reference's visited check). SURVEY.md §7 hard-part #1;
     validate NMI/AMI when raising it.
+
+    ``tail_seeds > num_parallel_seeds`` turns on the adaptive TAIL phase:
+    once a whole wave's regions terminate within ``tail_threshold_steps``
+    (the many tiny leftover-fragment seeds), the per-room seed count jumps
+    to ``tail_seeds``, collapsing the long fragment tail (measured: ~50 of
+    79 waves on the synthetic bench are such fragments, each paying a full
+    host round-trip). Lane arrays re-expand on DEVICE (no re-upload).
     """
     buckets: Dict[int, List[int]] = {}
     for i, rf in enumerate(rooms):
@@ -526,24 +582,27 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
         t_setup = time.time()
         R = num_restarts
         K = num_parallel_seeds
-        lanes = len(room_ids) * K * R
+        G = len(room_ids)
         f = cfg.feature_size
-        pts = np.zeros((lanes, psize, f), np.float32)
-        vox = np.zeros((lanes, psize, 3), np.int32)
-        valid = np.zeros((lanes, psize), bool)
+        pts_room = np.zeros((G, psize, f), np.float32)
+        vox_room = np.zeros((G, psize, 3), np.int32)
+        valid_room = np.zeros((G, psize), bool)
+        obj_room = np.full((G, psize), -1, np.int32)   # pad obj never matches
         curv_order = []
         for gi, ri in enumerate(room_ids):
             rf = rooms[ri]
             n = len(rf.points)
-            for kr in range(K * R):
-                li = gi * K * R + kr
-                pts[li, :n] = rf.points
-                vox[li, :n] = rf.voxels
-                valid[li, :n] = True
+            pts_room[gi, :n] = rf.points
+            vox_room[gi, :n] = rf.voxels
+            valid_room[gi, :n] = True
+            obj_room[gi, :n] = rf.obj_id
             curv_order.append(np.argsort(rf.curvatures, kind="stable"))
-        pts_d = jax.device_put(pts)
-        vox_d = jax.device_put(vox)
-        valid_d = jax.device_put(valid)
+        pts_room_d = jax.device_put(pts_room)
+        vox_room_d = jax.device_put(vox_room)
+        valid_room_d = jax.device_put(valid_room)
+        obj_room_d = jax.device_put(obj_room)
+
+        lanes = G * K * R
 
         # visited tracked per ROOM; lane copies are views expanded per wave
         room_visited = [np.concatenate([
@@ -557,13 +616,15 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
         net_time = 0.0
         wave = 0
 
+        in_tail = False
         while True:
             seed_idx = np.full(lanes, -1, np.int32)
-            flags = np.zeros((lanes, psize), np.uint8)
+            visited_u8 = np.zeros((G, psize), np.uint8)
             gt_counts = np.zeros(lanes, np.int64)
             wave_seeds: List[List[int]] = [[] for _ in room_ids]
             for gi, ri in enumerate(room_ids):
                 n = len(rooms[ri].points)
+                visited_u8[gi] = room_visited[gi]
                 unvisited = ~room_visited[gi][:n]
                 if not unvisited.any():
                     continue
@@ -571,27 +632,24 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                                          rooms[ri].voxels, K,
                                          seed_separation if K > 1 else 0)
                 wave_seeds[gi] = seeds
-                vis_u8 = room_visited[gi].astype(np.uint8)
                 for ki, s in enumerate(seeds):
-                    tgt = rooms[ri].obj_id == rooms[ri].obj_id[s]
-                    gt_cnt = int(tgt.sum())
-                    lane_flags = vis_u8.copy()
-                    lane_flags[:n] |= tgt.astype(np.uint8) << 1
+                    gt_cnt = int((rooms[ri].obj_id
+                                  == rooms[ri].obj_id[s]).sum())
                     for r in range(R):
                         li = (gi * K + ki) * R + r
                         seed_idx[li] = s
-                        flags[li] = lane_flags
                         gt_counts[li] = gt_cnt
             if not (seed_idx >= 0).any():
                 break
 
             t0 = time.time()
-            cur, stats = grow_batch_compact(
-                model_cfg, cfg, params, pts_d, vox_d, valid_d,
-                jax.device_put(flags), jnp.asarray(seed_idx), base_rng,
-                jnp.int32(wave))
-            cur = np.asarray(jax.device_get(cur))
+            packed, stats = grow_batch_rooms(
+                model_cfg, cfg, K * R, params, pts_room_d, vox_room_d,
+                valid_room_d, obj_room_d, jax.device_put(visited_u8),
+                jnp.asarray(seed_idx), base_rng, jnp.int32(wave))
+            packed = np.asarray(jax.device_get(packed))
             stats = np.asarray(jax.device_get(stats))
+            cur = np.unpackbits(packed, axis=1, bitorder="little")
             net_time += time.time() - t0
 
             for gi, ri in enumerate(room_ids):
@@ -642,13 +700,21 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                         rec["kept"] = False
                     inst_logs[gi].append(rec)
                     if verbose:
-                        gt = (flags[li0, :n] & 2).astype(bool)
+                        gt = rooms[ri].obj_id == rooms[ri].obj_id[s]
                         iou = (mask & gt).sum() / max(1, (mask | gt).sum())
                         print("room %d target %3d: step %3d %4d/%4d points "
                               "IOU %.3f add %.3f rmv %.3f %s" % (
                                   ri, rec["target"], rec["steps"], cnt,
                                   rec["gt_points"], iou, rec["add_acc"],
                                   rec["rmv_acc"], rec["reason"]))
+            # adaptive tail: all regions this wave were fragments -> widen K
+            # for the NEXT wave (lane arrays re-expand on device)
+            if (not in_tail and tail_seeds > K
+                    and stats[seed_idx >= 0, 0].max(initial=0)
+                    <= tail_threshold_steps):
+                in_tail = True
+                K = tail_seeds
+                lanes = G * K * R
             wave += 1
 
         for gi, ri in enumerate(room_ids):
