@@ -79,7 +79,8 @@ def run_area(area: str, args) -> list:
                       seed=args.seed, pallas_sampling=args.fast)
     t_grow = time.time()
     results = segment_rooms(params, mcfg, feats, gcfg, verbose=args.verbose,
-                            num_parallel_seeds=args.parallel_seeds)
+                            num_parallel_seeds=args.parallel_seeds,
+                            tail_seeds=args.tail_seeds)
     t_grow = time.time() - t_grow
 
     all_metrics = []
@@ -130,7 +131,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fast", action="store_true",
                     help="Pallas stratified sampling + sampled-subset median "
-                         "(validated ~equal NMI, ~1.4x faster; TPU only)")
+                         "(validated ~equal NMI; TPU only)")
+    ap.add_argument("--tail-seeds", type=int, default=0,
+                    help="adaptive fragment-tail seed count (collapses the "
+                         "small-region tail; validated ~equal NMI)")
     ap.add_argument("--parallel-seeds", type=int, default=1,
                     help=">1 grows several separated seeds per room per "
                          "wave (priority commit; ~Kx faster, validate NMI)")
