@@ -13,6 +13,10 @@ import time
 
 import numpy as np
 
+# per-phase wall-clock accumulation across areas, reported like the
+# reference's comp_time_analysis table (test_region_grow.py:40-51,382-390)
+COMP_TIME = {"feature": [], "grow": [], "fill_metrics": []}
+
 from ..core.features import prepare_room
 from ..engine.grow import GrowConfig, segment_rooms
 from ..eval.metrics import aggregate_line, room_metrics
@@ -83,6 +87,7 @@ def run_area(area: str, args) -> list:
                             tail_seeds=args.tail_seeds)
     t_grow = time.time() - t_grow
 
+    t_post = time.time()
     all_metrics = []
     total_points = 0
     save_id = 0
@@ -108,6 +113,9 @@ def run_area(area: str, args) -> list:
                                   f"{tag}.ply"), out)
             save_id += 1
 
+    COMP_TIME["feature"].append(t_feature)
+    COMP_TIME["grow"].append(t_grow)
+    COMP_TIME["fill_metrics"].append(time.time() - t_post)
     print("timing: feature %.2fs grow %.2fs  %.0f points/sec" % (
         t_feature, t_grow,
         total_points / max(t_feature + t_grow, 1e-9)))
@@ -149,6 +157,13 @@ def main(argv=None):
     for area in args.area.split(","):
         agg.extend(run_area(area, args))
     print(aggregate_line(agg))
+    # phase table in the reference's format (mean +- std seconds, % of total)
+    total = sum(np.mean(v) for v in COMP_TIME.values() if v)
+    for name, vals in COMP_TIME.items():
+        if vals:
+            print("%12s %6.2f+-%5.2fs %4.1f" % (
+                name, np.mean(vals), np.std(vals),
+                100.0 * np.mean(vals) / max(total, 1e-9)))
     return agg
 
 

@@ -142,3 +142,17 @@ def test_grow_chunk_state_roundtrip(tiny_rooms, trained):
     cur_b, ints_b = run([10, 10])
     np.testing.assert_array_equal(cur_a, cur_b)
     np.testing.assert_array_equal(ints_a, ints_b)
+
+
+def test_adaptive_tail_quality(tiny_rooms, trained):
+    """tail_seeds>K must not degrade quality on the fixture."""
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+    base = segment_rooms(params, mcfg, [rf], gcfg, num_parallel_seeds=2)
+    tail = segment_rooms(params, mcfg, [rf], gcfg, num_parallel_seeds=2,
+                         tail_seeds=8)
+    m0, _ = room_metrics(rf.obj_id, base[0].cluster_label)
+    m1, _ = room_metrics(rf.obj_id, tail[0].cluster_label)
+    assert m1.nmi > m0.nmi - 0.1, (m0.nmi, m1.nmi)
