@@ -12,13 +12,20 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, reps=5):
+def timeit(fn, *args, reps=5, chain=None):
+    """Pipelined THROUGHPUT per call; pass ``chain`` (maps output -> a
+    perturbation of the first arg) to serialize calls and measure LATENCY
+    instead (matters inside sequential loops — see
+    docs/pallas_grow_kernel_design.md)."""
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
     t = time.time()
+    a0 = args[0]
     for _ in range(reps):
-        out = fn(*args)
+        out = fn(a0, *args[1:])
+        if chain is not None:
+            a0 = chain(a0, out)
     jax.block_until_ready(out)
     return (time.time() - t) / reps * 1000
 
@@ -47,11 +54,18 @@ def main(argv=None):
     xyz = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
     feats = jnp.asarray(rng.rand(b, n, 64).astype(np.float32))
 
-    t = timeit(lambda x: farthest_point_sample(x, m), xyz, reps=args.reps)
-    print("fps (xla)        b=%d n=%d m=%d: %8.2f ms" % (b, n, m, t))
-    t = timeit(lambda x: farthest_point_sample_pallas(x, m), xyz,
-               reps=args.reps)
-    print("fps (pallas)     b=%d n=%d m=%d: %8.2f ms" % (b, n, m, t))
+    import jax.numpy as _jnp
+
+    def chain_fps(x, out):
+        # serialize: perturb input by a value derived from the output
+        return x + (out[0, 0] % 2).astype(_jnp.float32) * 1e-7
+
+    for tag, f in (("xla", farthest_point_sample),
+                   ("pallas", farthest_point_sample_pallas)):
+        t = timeit(lambda x: f(x, m), xyz, reps=args.reps)
+        tl = timeit(lambda x: f(x, m), xyz, reps=args.reps, chain=chain_fps)
+        print("fps (%s)%s b=%d n=%d m=%d: %8.2f ms tput / %8.2f ms latency"
+              % (tag, " " * (7 - len(tag)), b, n, m, t, tl))
 
     idx_fps = farthest_point_sample(xyz, m)
     new_xyz = gather_point(xyz, idx_fps)
