@@ -300,37 +300,6 @@ def grow_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig, params,
     return jax.lax.while_loop(cond, body, state)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def grow_batch_compact(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
-                       params, points, voxels, valid, flags, seed_idx,
-                       base_rng, wave):
-    """Transfer-minimal wrapper around the grow loop for the axon-tunnel
-    topology: the host<->device round-trip latency dominates at the wave
-    cadence, so per-wave inputs collapse into ONE uint8 flag array
-    (bit0 = visited, bit1 = gt_target) + one int32 seed array (< 0 =
-    inactive lane), PRNG keys derive on device, and outputs collapse into
-    (current (L,P) bool, stats (L, 6) f32 =
-    [steps, reason, log_prob, add_acc, rmv_acc, active])."""
-    lanes = seed_idx.shape[0]
-    visited = (flags & 1).astype(bool)
-    gt_target = (flags & 2).astype(bool)
-    active = seed_idx >= 0
-    rng = _wave_keys(base_rng,
-                     jnp.arange(lanes) * jnp.int32(100003) + wave)
-    final = grow_batch(model_cfg, cfg, params, points, voxels, valid,
-                       gt_target, visited, jnp.maximum(seed_idx, 0), active,
-                       rng)
-    stats = jnp.stack([
-        final.steps.astype(jnp.float32),
-        final.reason.astype(jnp.float32),
-        final.log_prob,
-        final.add_acc,
-        final.rmv_acc,
-        active.astype(jnp.float32),
-    ], axis=1)
-    return final.current, stats
-
-
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def grow_batch_rooms(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
                      reps: int, params, pts_rooms, vox_rooms, valid_rooms,
@@ -340,7 +309,7 @@ def grow_batch_rooms(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
     expansion (x ``reps`` seeds/restarts per room), gt-target derivation
     (obj == obj[seed]) and initial masks all happen ON DEVICE, and the
     result masks return BIT-PACKED ((L, P/8) uint8, 8x smaller). At wide
-    tail phases this cuts wave overhead ~10x vs grow_batch_compact.
+    tail phases this cuts wave overhead ~10x vs per-lane flag uploads.
     """
     g, p, _f = pts_rooms.shape
     lanes = g * reps
