@@ -86,9 +86,9 @@ def main():
     log(f"feature prep {t_feature:.2f}s ({eq_points} equalized points)")
 
     # warmup (compile) then measured run; single bucket => one compile.
-    # 2 parallel seeds per room: ~1.8x fewer waves at equal NMI (validated
-    # against K=1 on the synthetic validation set).
-    kw = dict(min_bucket_size=16384, num_parallel_seeds=2, tail_seeds=16)
+    # 4 parallel seeds per room + adaptive fragment tail: validated at
+    # equal NMI vs K=1 exact mode on the synthetic validation set.
+    kw = dict(min_bucket_size=16384, num_parallel_seeds=4, tail_seeds=16)
     segment_rooms(params, mcfg, feats, gcfg, **kw)
     t0 = time.time()
     results = segment_rooms(params, mcfg, feats, gcfg, **kw)
