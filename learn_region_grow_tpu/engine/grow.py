@@ -24,6 +24,7 @@ random-restart ``ml`` scoring variants.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional
@@ -300,16 +301,14 @@ def grow_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig, params,
     return jax.lax.while_loop(cond, body, state)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def grow_batch_rooms(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
+def _grow_rooms_core(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
                      reps: int, params, pts_rooms, vox_rooms, valid_rooms,
-                     obj_rooms, visited_rooms, seed_idx, base_rng, wave):
-    """Room-indexed, transfer-minimal wave API: per-wave host uploads shrink
-    to ONE per-room visited byte-mask (G, P) + the seed vector; lane
-    expansion (x ``reps`` seeds/restarts per room), gt-target derivation
-    (obj == obj[seed]) and initial masks all happen ON DEVICE, and the
-    result masks return BIT-PACKED ((L, P/8) uint8, 8x smaller). At wide
-    tail phases this cuts wave overhead ~10x vs per-lane flag uploads.
+                     obj_rooms, visited_rooms, seed_idx, lane_offsets,
+                     base_rng):
+    """Room-indexed wave body (shared by the single-device jit and the
+    shard_map dp variant). ``lane_offsets`` (G*reps,) int32 are the
+    host-computed per-lane PRNG fold-in offsets — globally numbered, so
+    sharded and single-device runs derive identical per-lane keys.
     """
     g, p, _f = pts_rooms.shape
     lanes = g * reps
@@ -322,7 +321,7 @@ def grow_batch_rooms(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
     seed_safe = jnp.maximum(seed_idx, 0)
     seed_obj = jnp.take_along_axis(obj, seed_safe[:, None], axis=1)
     gt_target = obj == seed_obj
-    rng = _wave_keys(base_rng, jnp.arange(lanes) * jnp.int32(100003) + wave)
+    rng = _wave_keys(base_rng, lane_offsets)
     final = grow_batch(model_cfg, cfg, params, points, voxels, valid,
                        gt_target, visited, seed_safe, active, rng)
     stats = jnp.stack([
@@ -337,6 +336,53 @@ def grow_batch_rooms(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
               * jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
               ).sum(axis=2).astype(jnp.uint8)
     return packed, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def grow_batch_rooms(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
+                     reps: int, params, pts_rooms, vox_rooms, valid_rooms,
+                     obj_rooms, visited_rooms, seed_idx, base_rng, wave):
+    """Room-indexed, transfer-minimal wave API: per-wave host uploads shrink
+    to ONE per-room visited byte-mask (G, P) + the seed vector; lane
+    expansion (x ``reps`` seeds/restarts per room), gt-target derivation
+    (obj == obj[seed]) and initial masks all happen ON DEVICE, and the
+    result masks return BIT-PACKED ((L, P/8) uint8, 8x smaller). At wide
+    tail phases this cuts wave overhead ~10x vs per-lane flag uploads.
+    """
+    g = pts_rooms.shape[0]
+    lane_offsets = jnp.arange(g * reps) * jnp.int32(100003) + wave
+    return _grow_rooms_core(model_cfg, cfg, reps, params, pts_rooms,
+                            vox_rooms, valid_rooms, obj_rooms, visited_rooms,
+                            seed_idx, lane_offsets, base_rng)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_grow_fn(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
+                     reps: int, mesh):
+    """dp-sharded wave over the room axis (NEW DESIGN, no reference
+    counterpart — the reference is single-GPU, SURVEY.md §2 parallelism
+    row). Lanes are embarrassingly parallel, so ``shard_map`` over the
+    leading room axis runs each device's rooms fully locally: no
+    collectives, per-device while_loops terminate independently, and
+    per-lane results are bit-identical to the single-device path (lane PRNG
+    keys are derived from GLOBAL lane offsets passed in from the host).
+    Params are replicated; the caller pads the room count to a multiple of
+    the dp size (padded rooms carry seed_idx -1 -> lanes start done).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    from ..parallel.mesh import DP_AXIS
+
+    shard = PS(DP_AXIS)
+    rep = PS()
+    fn = jax.shard_map(
+        partial(_grow_rooms_core, model_cfg, cfg, reps),
+        mesh=mesh,
+        in_specs=(rep, shard, shard, shard, shard, shard, shard, shard, rep),
+        out_specs=(shard, shard),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -514,7 +560,8 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                   seed_separation: int = 12,
                   min_bucket_size: int = 1024,
                   tail_seeds: int = 0,
-                  tail_threshold_steps: int = 4) -> List[RoomResult]:
+                  tail_threshold_steps: int = 4,
+                  mesh=None) -> List[RoomResult]:
     """Segment every room: all rooms of a padded-size bucket advance in
     parallel lanes, ``num_parallel_seeds`` curvature-ordered seeds per room
     per wave.
@@ -538,7 +585,20 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
     to ``tail_seeds``, collapsing the long fragment tail (measured: ~50 of
     79 waves on the synthetic bench are such fragments, each paying a full
     host round-trip). Lane arrays re-expand on DEVICE (no re-upload).
+
+    ``mesh`` (a ``jax.sharding.Mesh``, tp axis size 1): dp-shard the wave
+    over the room axis — each device grows its rooms' lanes fully locally
+    (no collectives; see ``_sharded_grow_fn``). The room count per bucket is
+    padded to a multiple of the device count with inert rooms. Per-lane
+    results are bit-identical to ``mesh=None``.
     """
+    dp = 1
+    if mesh is not None:
+        from ..parallel.mesh import TP_AXIS
+        if mesh.shape.get(TP_AXIS, 1) != 1:
+            raise ValueError("inference mesh must have tp=1 (pure DP)")
+        dp = mesh.devices.size
+
     buckets: Dict[int, List[int]] = {}
     for i, rf in enumerate(rooms):
         buckets.setdefault(_bucket_size(len(rf.points), min_bucket_size),
@@ -552,11 +612,12 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
         R = num_restarts
         K = num_parallel_seeds
         G = len(room_ids)
+        Gp = -(-G // dp) * dp          # padded room count (inert tail rooms)
         f = cfg.feature_size
-        pts_room = np.zeros((G, psize, f), np.float32)
-        vox_room = np.zeros((G, psize, 3), np.int32)
-        valid_room = np.zeros((G, psize), bool)
-        obj_room = np.full((G, psize), -1, np.int32)   # pad obj never matches
+        pts_room = np.zeros((Gp, psize, f), np.float32)
+        vox_room = np.zeros((Gp, psize, 3), np.int32)
+        valid_room = np.zeros((Gp, psize), bool)
+        obj_room = np.full((Gp, psize), -1, np.int32)  # pad obj never matches
         curv_order = []
         for gi, ri in enumerate(room_ids):
             rf = rooms[ri]
@@ -566,12 +627,18 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
             valid_room[gi, :n] = True
             obj_room[gi, :n] = rf.obj_id
             curv_order.append(np.argsort(rf.curvatures, kind="stable"))
-        pts_room_d = jax.device_put(pts_room)
-        vox_room_d = jax.device_put(vox_room)
-        valid_room_d = jax.device_put(valid_room)
-        obj_room_d = jax.device_put(obj_room)
+        if mesh is None:
+            room_sharding = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            from ..parallel.mesh import DP_AXIS
+            room_sharding = NamedSharding(mesh, PS(DP_AXIS))
+        pts_room_d = jax.device_put(pts_room, room_sharding)
+        vox_room_d = jax.device_put(vox_room, room_sharding)
+        valid_room_d = jax.device_put(valid_room, room_sharding)
+        obj_room_d = jax.device_put(obj_room, room_sharding)
 
-        lanes = G * K * R
+        lanes = Gp * K * R
 
         # visited tracked per ROOM; lane copies are views expanded per wave
         room_visited = [np.concatenate([
@@ -588,7 +655,7 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
         in_tail = False
         while True:
             seed_idx = np.full(lanes, -1, np.int32)
-            visited_u8 = np.zeros((G, psize), np.uint8)
+            visited_u8 = np.zeros((Gp, psize), np.uint8)
             gt_counts = np.zeros(lanes, np.int64)
             wave_seeds: List[List[int]] = [[] for _ in room_ids]
             for gi, ri in enumerate(room_ids):
@@ -612,10 +679,20 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                 break
 
             t0 = time.time()
-            packed, stats = grow_batch_rooms(
-                model_cfg, cfg, K * R, params, pts_room_d, vox_room_d,
-                valid_room_d, obj_room_d, jax.device_put(visited_u8),
-                jnp.asarray(seed_idx), base_rng, jnp.int32(wave))
+            if mesh is None:
+                packed, stats = grow_batch_rooms(
+                    model_cfg, cfg, K * R, params, pts_room_d, vox_room_d,
+                    valid_room_d, obj_room_d, jax.device_put(visited_u8),
+                    jnp.asarray(seed_idx), base_rng, jnp.int32(wave))
+            else:
+                lane_offsets = (np.arange(lanes, dtype=np.int32)
+                                * np.int32(100003) + np.int32(wave))
+                lane_sharding = NamedSharding(mesh, PS(DP_AXIS))
+                packed, stats = _sharded_grow_fn(model_cfg, cfg, K * R, mesh)(
+                    params, pts_room_d, vox_room_d, valid_room_d, obj_room_d,
+                    jax.device_put(visited_u8, room_sharding),
+                    jax.device_put(seed_idx, lane_sharding),
+                    jax.device_put(lane_offsets, lane_sharding), base_rng)
             packed = np.asarray(jax.device_get(packed))
             stats = np.asarray(jax.device_get(stats))
             cur = np.unpackbits(packed, axis=1, bitorder="little")
@@ -683,7 +760,7 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
                     <= tail_threshold_steps):
                 in_tail = True
                 K = tail_seeds
-                lanes = G * K * R
+                lanes = Gp * K * R
             wave += 1
 
         for gi, ri in enumerate(room_ids):

@@ -23,6 +23,38 @@ def test_dryrun_multichip(n):
     g.dryrun_multichip(n)
 
 
+def test_sharded_inference_bit_identical(trained, tiny_rooms):
+    """The flagship grow engine dp-sharded over the 8-device mesh must give
+    BIT-identical committed cluster labels vs single-device (per-lane PRNG
+    keys derive from global lane offsets; no cross-lane reductions)."""
+    from learn_region_grow_tpu.core import prepare_room
+    from learn_region_grow_tpu.engine.grow import GrowConfig, segment_rooms
+    from learn_region_grow_tpu.models import lrgnet
+    from learn_region_grow_tpu.parallel.mesh import make_mesh
+
+    params, mdl_kwargs = trained
+    mcfg = lrgnet.LrgNetConfig(**mdl_kwargs) if isinstance(mdl_kwargs, dict) \
+        else mdl_kwargs
+    feats = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
+             for r in tiny_rooms]
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=30)
+
+    single = segment_rooms(params, mcfg, feats, gcfg)
+    mesh = make_mesh(tp=1)
+    sharded = segment_rooms(params, mcfg, feats, gcfg, mesh=mesh)
+    for a, b in zip(single, sharded):
+        assert a.num_clusters == b.num_clusters
+        np.testing.assert_array_equal(a.cluster_label, b.cluster_label)
+
+    # multi-seed + restart lanes shard the same way
+    multi = segment_rooms(params, mcfg, feats, gcfg, num_parallel_seeds=2,
+                          num_restarts=2)
+    multi_sh = segment_rooms(params, mcfg, feats, gcfg, num_parallel_seeds=2,
+                             num_restarts=2, mesh=mesh)
+    for a, b in zip(multi, multi_sh):
+        np.testing.assert_array_equal(a.cluster_label, b.cluster_label)
+
+
 def test_dp_matches_single_device():
     """Sharded train step must produce the same loss as unsharded."""
     from learn_region_grow_tpu.parallel.mesh import make_mesh, shard_batch
