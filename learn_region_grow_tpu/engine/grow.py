@@ -184,11 +184,22 @@ def make_grow_step(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig):
         add_dec = jax.random.uniform(r_add, (cfg.num_neighbor,)) < add_conf
         rmv_dec = jax.random.uniform(r_rmv, (cfg.num_inlier,)) < rmv_conf
 
+        # scatter decisions back to the full cloud (equalized points are
+        # unique voxels, so index scatter == the reference's voxel-set update)
+        add_full = jnp.zeros(p, bool).at[nb_idx].max(add_dec)
+        rmv_full = jnp.zeros(p, bool).at[in_idx].max(rmv_dec)
+
+        # ml scoring (test_random_restart.py:251-271): each slot scores by
+        # VOXEL-SET membership — duplicate fill slots of one point all count
+        # as selected when any copy fired — and each term is normalized by
+        # NUM_NEIGHBOR_POINT for both heads.
         eps = 1e-10
+        add_sel = add_full[nb_idx]
+        rmv_sel = rmv_full[in_idx]
         step_lp = (
-            jnp.sum(jnp.log(jnp.where(add_dec, add_conf, 1 - add_conf) + eps))
-            + jnp.sum(jnp.log(jnp.where(rmv_dec, rmv_conf, 1 - rmv_conf) + eps))
-        )
+            jnp.sum(jnp.log(jnp.where(add_sel, add_conf, 1 - add_conf) + eps))
+            + jnp.sum(jnp.log(jnp.where(rmv_sel, rmv_conf, 1 - rmv_conf) + eps))
+        ) / cfg.num_neighbor
 
         # GT-vs-prediction accuracies for the reference's per-instance log line
         if cfg.track_accuracy:
@@ -203,10 +214,6 @@ def make_grow_step(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig):
             add_acc = jnp.float32(0.0)
             rmv_acc = jnp.float32(0.0)
 
-        # scatter decisions back to the full cloud (equalized points are
-        # unique voxels, so index scatter == the reference's voxel-set update)
-        add_full = jnp.zeros(p, bool).at[nb_idx].max(add_dec)
-        rmv_full = jnp.zeros(p, bool).at[in_idx].max(rmv_dec)
         new_current = (state.current | add_full) & ~rmv_full
         updated = jnp.any(add_dec)
         cur_cnt = jnp.sum(new_current)
@@ -466,16 +473,19 @@ def single_step_batch(model_cfg: lrgnet.LrgNetConfig, cfg: GrowConfig,
         rmv_conf = jax.nn.softmax(out["remove_logits"][0], axis=-1)[:, 1]
         add_dec = jax.random.uniform(r_add, (cfg.num_neighbor,)) < add_conf
         rmv_dec = jax.random.uniform(r_rmv, (cfg.num_inlier,)) < rmv_conf
-        eps = 1e-10
-        # the reference normalizes per-decision log-probs by
-        # NUM_NEIGHBOR_POINT for both heads (test_beam_search.py:243,257)
-        step_lp = (jnp.sum(jnp.log(jnp.where(add_dec, add_conf,
-                                             1 - add_conf) + eps))
-                   + jnp.sum(jnp.log(jnp.where(rmv_dec, rmv_conf,
-                                               1 - rmv_conf) + eps))
-                   ) / cfg.num_neighbor
         add_full = jnp.zeros(p, bool).at[nb_idx].max(add_dec)
         rmv_full = jnp.zeros(p, bool).at[in_idx].max(rmv_dec)
+        eps = 1e-10
+        # the reference scores slots by voxel-SET membership (duplicate
+        # slots count as selected when any copy fired) and normalizes each
+        # term by NUM_NEIGHBOR_POINT (test_beam_search.py:243,257)
+        add_sel = add_full[nb_idx]
+        rmv_sel = rmv_full[in_idx]
+        step_lp = (jnp.sum(jnp.log(jnp.where(add_sel, add_conf,
+                                             1 - add_conf) + eps))
+                   + jnp.sum(jnp.log(jnp.where(rmv_sel, rmv_conf,
+                                               1 - rmv_conf) + eps))
+                   ) / cfg.num_neighbor
         new_mask = (mk | add_full) & ~rmv_full
         updated = jnp.any(add_dec) & ~no_neighbor & act
         new_mask = jnp.where(act & ~no_neighbor, new_mask, mk)
