@@ -51,10 +51,24 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 def save_checkpoint(path: str, params, config: Optional[dict] = None,
                     opt_state=None, step: int = 0):
+    """Write params (+optionally the optimizer state) and a step counter.
+
+    ``opt_state`` leaves are stored in ``jax.tree`` flatten order under
+    ``opt/{i}`` keys; restore them with :func:`load_opt_state` against a
+    freshly initialized state of the same structure (the treedef itself —
+    optax namedtuples — is not serialized). The reference saves only a
+    final full-graph checkpoint (``train_region_grow.py:222``); mid-train
+    cadence + resume is the TPU-native extension (SURVEY.md §5 checkpoint
+    row).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     params = jax.device_get(params)
     flat = {f"params/{k}": v for k, v in _flatten(params).items()}
     flat["__step__"] = np.asarray(step)
+    if opt_state is not None:
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(
+                jax.device_get(opt_state))):
+            flat[f"opt/{i}"] = np.asarray(leaf)
     np.savez(path, **flat)
     if config is not None:
         with open(path + ".json", "w") as f:
@@ -79,6 +93,29 @@ def load_checkpoint(path: str) -> Tuple[Any, int, Optional[dict]]:
         with open(path + ".json") as f:
             config = json.load(f)
     return params, step, config
+
+
+def load_opt_state(path: str, like) -> Any:
+    """Restore an optimizer state saved by :func:`save_checkpoint` into the
+    tree structure of ``like`` (a freshly initialized state). Returns
+    ``like`` unchanged when the checkpoint has no optimizer leaves."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    opt_keys = sorted((k for k in data.files if k.startswith("opt/")),
+                      key=lambda k: int(k.split("/")[1]))
+    if not opt_keys:
+        return like
+    leaves = [data[k] for k in opt_keys]
+    treedef = jax.tree_util.tree_structure(like)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} optimizer leaves, expected "
+            f"{treedef.num_leaves} — optimizer config mismatch")
+    ref_leaves = jax.tree_util.tree_leaves(like)
+    leaves = [np.asarray(l, dtype=np.asarray(r).dtype)
+              for l, r in zip(leaves, ref_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def lrgnet_model_path(models_dir: str, val_area: str, feature_size: int = 13,

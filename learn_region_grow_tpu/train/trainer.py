@@ -50,6 +50,14 @@ class TrainConfig:
     completeness_head: bool = False
     compute_dtype: str = "float32"
     tp: int = 1
+    # mid-training checkpoint cadence (epochs; 0 = end-only like the
+    # reference) + resume. The resumed np.random stream restarts at the
+    # resume epoch's permutation seed, so resumed runs are reproducible
+    # given the same (seed, resume epoch) but differ from an uninterrupted
+    # run's exact batch order.
+    checkpoint_every: int = 0
+    checkpoint_path: Optional[str] = None
+    resume_from: Optional[str] = None
 
     def model_config(self) -> lrgnet.LrgNetConfig:
         return lrgnet.LrgNetConfig(
@@ -192,12 +200,31 @@ def fit(cfg: TrainConfig, train_areas: List[str],
     init_fn, train_step, eval_step = make_train_step(cfg, mesh)
     params, opt_state = init_fn(jax.random.PRNGKey(cfg.seed))
 
+    start_epoch = 0
+    if cfg.resume_from and os.path.exists(
+            cfg.resume_from if cfg.resume_from.endswith(".npz")
+            else cfg.resume_from + ".npz"):
+        loaded, start_epoch, _ = ckpt_lib.load_checkpoint(cfg.resume_from)
+        opt_state = ckpt_lib.load_opt_state(cfg.resume_from, opt_state)
+        if mesh is not None:
+            # params take the tp sharding rule; restored Adam moments start
+            # replicated and follow the params' sharding after the first
+            # jitted update
+            loaded = jax.device_put(loaded,
+                                    mesh_lib.param_sharding(loaded, mesh))
+        params = loaded
+        if verbose:
+            print(f"Resumed from {cfg.resume_from} at epoch {start_epoch}")
+
     train_set: Optional[SampleSet] = None
     val_set: Optional[SampleSet] = None
     epoch_times = []
     last_metrics: Dict[str, float] = {}
 
-    for epoch in range(cfg.max_epoch):
+    for epoch in range(start_epoch, cfg.max_epoch):
+        # deterministic per-epoch permutation stream so a resumed run draws
+        # the same batches for this epoch as a fresh run reaching it
+        rng = np.random.RandomState(cfg.seed + 7919 * (epoch + 1))
         reload_needed = train_set is None or cfg.multiseed > 1
         if reload_needed:
             val_epoch = (
@@ -264,6 +291,18 @@ def fit(cfg: TrainConfig, train_areas: List[str],
                 print("Validation %d loss %.2f add %.2f/%.2f rmv %.2f/%.2f" % (
                     epoch, vm["loss"], vm["add_prc"], vm["add_rcl"],
                     vm["remove_prc"], vm["remove_rcl"]))
+
+        if (cfg.checkpoint_every > 0 and cfg.checkpoint_path
+                and (epoch + 1) % cfg.checkpoint_every == 0):
+            # step records the NEXT epoch to run, so resume_from continues
+            # exactly where this run stopped
+            ckpt_lib.save_checkpoint(
+                cfg.checkpoint_path, params,
+                config=dataclasses.asdict(cfg),
+                opt_state=opt_state, step=epoch + 1)
+            if verbose:
+                print(f"Checkpoint @ epoch {epoch + 1} -> "
+                      f"{cfg.checkpoint_path}")
 
     summary = {
         "avg_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0,

@@ -137,3 +137,38 @@ def test_bfloat16_compute_path(staged):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_checkpoint_resume_matches_uninterrupted(staged, tmp_path):
+    """Kill/resume: train 3 epochs straight vs 2 epochs + checkpoint +
+    resume for the 3rd — final params must match (params AND Adam moments
+    restored; per-epoch batch streams make the resumed epochs draw the
+    same batches)."""
+    import jax
+
+    from learn_region_grow_tpu.train import checkpoint as ckpt_lib
+    from learn_region_grow_tpu.train.trainer import fit
+    from learn_region_grow_tpu.utils.io import save_staged_h5
+
+    save_staged_h5(str(tmp_path / "staged_synthetic_t.h5"), staged)
+    base = dict(batch_size=8, num_inlier=64, num_neighbor=64, multiseed=0,
+                feature_size=13, data_dir=str(tmp_path), seed=3)
+    ck = str(tmp_path / "mid.npz")
+
+    p_full, _ = fit(TrainConfig(max_epoch=3, **base),
+                    ["synthetic_t"], verbose=False)
+
+    fit(TrainConfig(max_epoch=2, checkpoint_every=2, checkpoint_path=ck,
+                    **base), ["synthetic_t"], verbose=False)
+    _, step, cfg_json = ckpt_lib.load_checkpoint(ck)
+    assert step == 2
+    assert cfg_json["batch_size"] == 8
+
+    p_res, _ = fit(TrainConfig(max_epoch=3, resume_from=ck, **base),
+                   ["synthetic_t"], verbose=False)
+
+    flat_full = jax.tree_util.tree_leaves(p_full)
+    flat_res = jax.tree_util.tree_leaves(p_res)
+    for a, b in zip(flat_full, flat_res):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
