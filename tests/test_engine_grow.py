@@ -156,3 +156,25 @@ def test_adaptive_tail_quality(tiny_rooms, trained):
     m0, _ = room_metrics(rf.obj_id, base[0].cluster_label)
     m1, _ = room_metrics(rf.obj_id, tail[0].cluster_label)
     assert m1.nmi > m0.nmi - 0.1, (m0.nmi, m1.nmi)
+
+
+def test_reference_protocol_runner(tiny_rooms, trained):
+    """The measured-baseline runner (engine/reference_loop.py) segments the
+    fixture with the reference's sequential host-loop protocol and reaches
+    the same quality bar as the batched engine."""
+    from learn_region_grow_tpu.engine.reference_loop import (
+        run_reference_protocol)
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+    results, timing = run_reference_protocol(params, mcfg, [rf], gcfg)
+    assert len(results) == 1
+    res = results[0]
+    assert res.cluster_label.shape == (len(rf.points),)
+    assert (res.cluster_label > 0).all()
+    assert res.num_clusters >= 1
+    assert set(timing) == {"net", "neighbor", "inlier"}
+    assert timing["net"] > 0 and timing["inlier"] > 0
+    m, _ = room_metrics(rf.obj_id, res.cluster_label)
+    assert m.nmi > 0.5, f"NMI too low: {m.nmi}"
