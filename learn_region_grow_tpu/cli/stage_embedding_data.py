@@ -8,10 +8,8 @@ import os
 from ..data.embedding_staging import (embedding_staged_path,
                                       stage_embedding_rooms)
 from ..data.simulator import area_input_path
-from ..train.checkpoint import load_checkpoint
-from ..train.mcpnet_trainer import MCPTrainConfig
-from ..models.mcpnet import MCPNetConfig
 from ..utils.io import load_h5_rooms, save_staged_h5
+from .test_region_grow_emb import load_mcp
 
 
 def main(argv=None):
@@ -24,12 +22,7 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
-    mcp_params, _, _ = load_checkpoint(args.mcp_model)
-    tc = MCPTrainConfig()
-    mcp_cfg = MCPNetConfig(num_neighbors=tc.num_neighbors,
-                           feature_size=tc.feature_size,
-                           hidden_size=tc.hidden_size,
-                           embedding_size=tc.embedding_size)
+    mcp_params, mcp_cfg = load_mcp(args.mcp_model)
     for area in args.area.split(","):
         rooms, obj_ids, cls_ids = load_h5_rooms(
             area_input_path(args.data_dir, area, args.seed))

@@ -1,0 +1,138 @@
+"""CLI: embedding-conditioned region-growing inference (C30).
+
+Mirrors the experimental driver ``experimental/test_region_grow_emb.py``
+(reference :1-352): per-point MCPNet embeddings are appended to the features
+(FEATURE_SIZE=19, layout [xyz, rgb, |normal|, 10-d embedding] —
+``stage_embedding_data.py:106,135``) and the standard greedy engine grows
+regions over the 19-d rooms. The reference driver is bit-rotted (it calls a
+LrgNet API that no longer exists and recenters inlier/neighbor sets
+inconsistently, ``test_region_grow_emb.py:221-226``); here the engine's
+uniform recenter rule (xy + feature cols 6:) applies, matching how the
+19-d training data is staged (``data/embedding_staging.py``).
+
+Seeds follow ascending curvature order like the main driver
+(``test_region_grow_emb.py:165``); curvatures are computed during feature
+prep even though they are not part of the 19-d feature vector.
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..data.embedding_staging import (EMBEDDING_FEATURE_SIZE,
+                                      build_embedding_features)
+from ..engine.grow import GrowConfig, segment_rooms
+from ..eval.metrics import aggregate_line, room_metrics
+from ..models import lrgnet
+from ..models.mcpnet import MCPNetConfig
+from ..train.checkpoint import load_checkpoint
+from ..train.mcpnet_trainer import MCPTrainConfig
+from .test_region_grow import area_rooms_path, load_sampled_filter
+
+
+def emb_model_path(models_dir: str, val_area: str) -> str:
+    return os.path.join(models_dir, f"lrgnet_emb_model{val_area}.npz")
+
+
+def load_mcp(path: str):
+    """Load an MCPNet checkpoint; architecture comes from the checkpoint's
+    config sidecar when present (falls back to MCPTrainConfig defaults)."""
+    mcp_params, _, cfg_json = load_checkpoint(path)
+    tc = MCPTrainConfig()
+    src = cfg_json or {}
+    mcp_cfg = MCPNetConfig(
+        num_neighbors=int(src.get("num_neighbors", tc.num_neighbors)),
+        feature_size=int(src.get("feature_size", tc.feature_size)),
+        hidden_size=int(src.get("hidden_size", tc.hidden_size)),
+        embedding_size=int(src.get("embedding_size", tc.embedding_size)))
+    return mcp_params, mcp_cfg
+
+
+def run_area(area: str, args, mcp_params, mcp_cfg) -> list:
+    from ..utils.io import load_h5_rooms
+
+    model_path = args.model or emb_model_path(args.models_dir, area)
+    params, _, _ = load_checkpoint(model_path)
+    print(f"Restored from {model_path}")
+    mcfg = lrgnet.LrgNetConfig(feature_size=EMBEDDING_FEATURE_SIZE,
+                               completeness_head="complete_head" in params)
+
+    rooms, obj_ids, cls_ids = load_h5_rooms(
+        area_rooms_path(args.data_dir, area))
+    keep = load_sampled_filter(args.data_dir, area)
+
+    feats, kept_ids = [], []
+    t_feature = time.time()
+    rng = np.random.RandomState(args.seed)
+    for rid in range(len(rooms)):
+        if not keep(rid):
+            continue
+        feats.append(build_embedding_features(
+            rooms[rid], obj_ids[rid], cls_ids[rid], mcp_params, mcp_cfg,
+            resolution=args.resolution, rng=rng))
+        kept_ids.append(rid)
+    t_feature = time.time() - t_feature
+
+    gcfg = GrowConfig(num_inlier=args.num_inlier,
+                      num_neighbor=args.num_neighbor,
+                      feature_size=EMBEDDING_FEATURE_SIZE,
+                      resolution=args.resolution,
+                      cluster_threshold=args.cluster_threshold,
+                      seed=args.seed, pallas_sampling=args.fast)
+    t_grow = time.time()
+    results = segment_rooms(params, mcfg, feats, gcfg, verbose=args.verbose,
+                            num_parallel_seeds=args.parallel_seeds,
+                            tail_seeds=args.tail_seeds)
+    t_grow = time.time() - t_grow
+
+    all_metrics = []
+    total_points = 0
+    for i, rid in enumerate(kept_ids):
+        rf, res = feats[i], results[i]
+        m, _ = room_metrics(rf.obj_id, res.cluster_label)
+        all_metrics.append(m)
+        total_points += len(rooms[rid])
+        print("Area %s room %d NMI: %.2f AMI: %.2f ARS: %.2f PRC: %.2f "
+              "RCL: %.2f IOU: %.2f" % (area, rid, m.nmi, m.ami, m.ars,
+                                       m.prc, m.rcl, m.iou))
+    print("timing: feature %.2fs grow %.2fs  %.0f points/sec" % (
+        t_feature, t_grow,
+        total_points / max(t_feature + t_grow, 1e-9)))
+    return all_metrics
+
+
+def main(argv=None):
+    from ..engine.grow import enable_compilation_cache
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--area", default="5")
+    ap.add_argument("--resolution", type=float, default=0.1)
+    ap.add_argument("--num-inlier", type=int, default=512)
+    ap.add_argument("--num-neighbor", type=int, default=512)
+    ap.add_argument("--cluster-threshold", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--tail-seeds", type=int, default=0)
+    ap.add_argument("--parallel-seeds", type=int, default=1)
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--models-dir", default="models")
+    ap.add_argument("--model", default=None,
+                    help="explicit 19-d LrgNet checkpoint path")
+    ap.add_argument("--mcp-model", required=True,
+                    help="trained MCPNet checkpoint (embedding source)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    mcp_params, mcp_cfg = load_mcp(args.mcp_model)
+
+    agg = []
+    for area in args.area.split(","):
+        agg.extend(run_area(area, args, mcp_params, mcp_cfg))
+    print(aggregate_line(agg))
+    return agg
+
+
+if __name__ == "__main__":
+    main()
