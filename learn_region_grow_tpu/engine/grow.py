@@ -786,6 +786,104 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
     return results  # type: ignore[return-value]
 
 
+def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
+                        rooms: List[RoomFeatures], cfg: GrowConfig,
+                        min_bucket_size: int = 1024,
+                        max_instances: int = 512,
+                        exact_median: bool = True,
+                        interpret: bool = False,
+                        verbose: bool = False) -> List[RoomResult]:
+    """Segment rooms with the fused whole-room Pallas kernel
+    (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
+    seed pick in curvature order, grow-to-termination, visited/cluster
+    commit — runs on-chip per room with zero host round-trips. Exact
+    reference semantics (sequential seeds, exact without-replacement
+    sampling, exact masked median when ``exact_median``); the stochastic
+    draws use the kernel's own counter-based PRNG stream, so per-seed
+    trajectories differ from ``segment_rooms`` while the sampled
+    distributions are identical.
+
+    Constraints (falls back is the caller's job): standard architecture
+    (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 16,
+    rooms <= 32768 padded points (VMEM budget).
+    """
+    from ..ops import fused_grow as _fg
+
+    if model_cfg.lite is not None:
+        raise ValueError("fused kernel supports the standard architecture")
+    if cfg.num_inlier != cfg.num_neighbor:
+        raise ValueError("fused kernel requires num_inlier == num_neighbor")
+    if cfg.feature_size > 16:
+        raise ValueError("fused kernel supports feature_size <= 16")
+
+    buckets: Dict[int, List[int]] = {}
+    for i, rf in enumerate(rooms):
+        psize = _bucket_size(len(rf.points), min_bucket_size)
+        if psize > 32768:
+            raise ValueError(
+                f"room {i}: {len(rf.points)} points exceeds the fused "
+                f"kernel's 32768-point VMEM budget; use segment_rooms")
+        buckets.setdefault(psize, []).append(i)
+
+    weights = [jnp.asarray(a) for a in
+               _fg.pack_lrgnet_weights(params, cfg.feature_size)]
+    results: List[Optional[RoomResult]] = [None] * len(rooms)
+
+    for psize, room_ids in sorted(buckets.items()):
+        t_setup = time.time()
+        g = len(room_ids)
+        feat = np.zeros((g, 16, psize), np.float32)
+        vox = np.zeros((g, 24, psize // 8), np.int32)
+        rank = np.zeros((g, 8, psize // 8), np.int32)
+        obj = np.zeros((g, 8, psize // 8), np.int32)
+        seeds = np.zeros((g, 1), np.int32)
+        for gi, ri in enumerate(room_ids):
+            feat[gi], vox[gi], rank[gi], obj[gi] = _fg.pack_room(
+                rooms[ri], psize, cfg.feature_size)
+            seeds[gi, 0] = cfg.seed * 1000003 + ri
+        t0 = time.time()
+        labels_d, log_d, counters_d = _fg.fused_grow_rooms(
+            jnp.asarray(seeds), jnp.asarray(feat), jnp.asarray(vox),
+            jnp.asarray(rank), jnp.asarray(obj), weights,
+            k=cfg.num_inlier, feature_size=cfg.feature_size,
+            max_steps=cfg.max_steps,
+            cluster_threshold=cfg.cluster_threshold,
+            max_instances=max_instances, exact_median=exact_median,
+            interpret=interpret)
+        labels = np.asarray(jax.device_get(labels_d))
+        logs = np.asarray(jax.device_get(log_d))
+        counters = np.asarray(jax.device_get(counters_d))
+        net_time = time.time() - t0
+
+        for gi, ri in enumerate(room_ids):
+            n = len(rooms[ri].points)
+            lbl = labels[gi].reshape(-1)[:n].astype(int)
+            n_inst = int(counters[gi, 0, 1])
+            inst_logs = []
+            for row in logs[gi, :n_inst]:
+                rec = {
+                    "target": int(row[1]), "steps": int(row[2]),
+                    "points": int(row[3]), "gt_points": int(row[4]),
+                    "reason": REASON_NAMES.get(int(row[5]), "?"),
+                    "add_acc": 0.0, "rmv_acc": 0.0,
+                    "log_prob": float(row[6]), "kept": bool(row[7] > 0),
+                }
+                inst_logs.append(rec)
+                if verbose and rec["kept"]:
+                    print("room %d target %3d: step %3d %4d/%4d points "
+                          "%s" % (ri, rec["target"], rec["steps"],
+                                  rec["points"], rec["gt_points"],
+                                  rec["reason"]))
+            results[ri] = RoomResult(
+                cluster_label=fill_unlabeled(rooms[ri].points, lbl),
+                num_clusters=int(counters[gi, 0, 0]),
+                instances=inst_logs,
+                timing={"net": net_time / g,
+                        "setup": (time.time() - t_setup) / g})
+
+    return results  # type: ignore[return-value]
+
+
 def segment_rooms_scheduled(params, model_cfg: lrgnet.LrgNetConfig,
                             rooms: List[RoomFeatures], cfg: GrowConfig,
                             slots_per_room: int = 2,

@@ -1,0 +1,721 @@
+"""Fused whole-room Pallas grow kernel — the exact-semantics fast path.
+
+One ``pallas_call`` segments ENTIRE rooms: the outer seed loop (lowest
+unvisited curvature rank, reference ``test_region_grow.py:183-186``), the
+inner grow loop (bbox neighbor masking, exact without-replacement 512/512
+resampling, exact full-cloud median recentering, the LrgNet forward,
+Bernoulli add/remove, stuck/termination bookkeeping, :208-306) and the
+visited/cluster commit all run on-chip with the room RESIDENT in VMEM.
+Zero host round-trips per room — this removes the ~15 ms/iteration serial
+dispatch latency of the XLA ``while_loop`` path entirely
+(docs/pallas_grow_kernel_design.md).
+
+Design notes:
+* **Layouts.** Per-point arrays are (8, P8) "sublane row-major": global
+  index g = row * P8 + col (same convention as ``ops/masked_select``).
+  Features are (16, P) f32 (rows = feature channels, zero-padded past F);
+  voxel coords (24, P8) i32 (rows 0-7 = x, 8-15 = y, 16-23 = z).
+* **Exact sampling without a sort.** k-subset = all masked points whose
+  31-bit hash key <= the k-th smallest masked key, found by 33-step value
+  bisection (counting passes). Slots are filled in index order via
+  rank-matching (prefix-scan ranks == stratum targets); cnt < k falls back
+  to the reference's natural-order + with-replacement fill.
+* **Exact median** per recenter column by the same bisection on a monotone
+  f32->int32 encoding: order statistics (cnt-1)//2 and cnt//2, averaged —
+  identical to ``numpy.median`` / ``engine.grow.masked_median``.
+* **Gather/scatter as MXU matmuls.** One-hot (k, CHUNK) slabs built by
+  rank-compare; gathers are (16, CHUNK) @ (CHUNK, k) accumulations, the
+  decision scatter and duplicate-slot OR (ml log-prob semantics,
+  ``test_random_restart.py:251-271``) reuse the same slabs.
+* **Forward in transposed space.** All matmuls are (Cout, Cin) @ (Cin, k);
+  the tiled-global-feature head contraction is algebraically split into a
+  per-region matvec bias (W_g @ pooled) plus a skip matmul — identical
+  output, ~6x fewer head FLOPs than materializing the 1088-wide concat.
+* **PRNG** is a counter-based murmur3-style integer hash (portable across
+  interpret/compiled modes, deterministic per (room seed, draw counter)).
+  The stochastic decisions therefore sample the same DISTRIBUTIONS as the
+  reference (uniform subsets, Bernoulli thresholds) through a different
+  stream — per-seed trajectories differ, quality metrics must match.
+
+The kernel supports the standard architecture (lite=None) and P <= 32768
+(VMEM budget); callers fall back to the XLA engine otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = np.int32(2 ** 30)
+# murmur3 finalizer constants as wrapped int32
+_C1 = np.int32(np.uint32(0x85EBCA6B).astype(np.int64) - 2 ** 32)
+_C2 = np.int32(np.uint32(0xC2B2AE35).astype(np.int64) - 2 ** 32)
+_CG = np.int32(np.uint32(0x9E3779B1).astype(np.int64) - 2 ** 32)
+
+REASON_NONEIGHBOR = 1
+REASON_NOEXPAND = 2
+REASON_STUCK = 3
+REASON_MAXSTEPS = 4
+
+
+# ---------------------------------------------------------------------------
+# Pure helpers (plain jnp — unit-testable on CPU, reused inside the kernel)
+# ---------------------------------------------------------------------------
+
+def hash_keys(idx: jnp.ndarray, ctr: jnp.ndarray) -> jnp.ndarray:
+    """Counter-based 31-bit non-negative int32 hash of (idx, ctr).
+
+    murmur3-style finalizer; int32 multiplies wrap (two's complement) and
+    shifts are masked to behave logically.
+    """
+    h = idx.astype(jnp.int32) ^ (jnp.asarray(ctr, jnp.int32) * _CG)
+    h = h ^ ((h >> 16) & 0xFFFF)
+    h = h * _C1
+    h = h ^ ((h >> 13) & 0x7FFFF)
+    h = h * _C2
+    h = h ^ ((h >> 16) & 0xFFFF)
+    return h & jnp.int32(0x7FFFFFFF)
+
+
+def uniform01(keys: jnp.ndarray) -> jnp.ndarray:
+    """31-bit keys -> f32 uniforms in [0, 1) (24-bit mantissa draws)."""
+    return ((keys >> 7) & 0xFFFFFF).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24))
+
+
+def sortable_encode(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone f32 -> int32 map: a < b (floats) <=> enc(a) < enc(b)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return jnp.where(b >= 0, b, b ^ jnp.int32(0x7FFFFFFF))
+
+
+def sortable_decode(enc: jnp.ndarray) -> jnp.ndarray:
+    b = jnp.where(enc >= 0, enc, enc ^ jnp.int32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _midpoint(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """floor((lo+hi)/2) without int32 overflow (arithmetic shifts)."""
+    return (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+
+
+def bisect_order_stat(enc: jnp.ndarray, mask: jnp.ndarray,
+                      rank: jnp.ndarray, lo0: int, hi0: int) -> jnp.ndarray:
+    """Smallest value v among ``enc[mask]`` with count(enc <= v) >= rank.
+
+    enc/mask (R, C); rank scalar (1-based, >= 1, <= count). 33 counting
+    passes over the masked array; exact for any int32 values in [lo0, hi0].
+    """
+    def body(_, carry):
+        lo, hi = carry
+        mid = _midpoint(lo, hi)
+        c = jnp.sum(jnp.where(mask & (enc <= mid), 1, 0))
+        return jnp.where(c >= rank, lo, mid + 1), jnp.where(c >= rank, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(
+        0, 33, body, (jnp.int32(lo0), jnp.int32(hi0)))
+    return lo
+
+
+def bisect_order_stat_cols(enc: jnp.ndarray, mask_tiled: jnp.ndarray,
+                           pool: jnp.ndarray, rank: jnp.ndarray,
+                           lo0: int, hi0: int) -> jnp.ndarray:
+    """Vectorized order statistic per column group.
+
+    enc (G*8, C) int32 (group g occupies rows g*8..g*8+7), mask_tiled same
+    shape, pool (G, G*8) 0/1 block-sum matrix, rank scalar. Returns (G, 1).
+    """
+    g = pool.shape[0]
+
+    def body(_, carry):
+        lo, hi = carry                                   # (G, 1)
+        mid = _midpoint(lo, hi)
+        mid_rows = jnp.dot(pool.T.astype(jnp.float32), mid.astype(jnp.float32),
+                           preferred_element_type=jnp.float32).astype(jnp.int32)
+        ind = (mask_tiled & (enc <= mid_rows)).astype(jnp.float32)
+        row_counts = jnp.sum(ind, axis=1, keepdims=True)          # (G*8, 1)
+        counts = jnp.dot(pool.astype(jnp.float32), row_counts,
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+        take = counts >= rank
+        return (jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(
+        0, 33, body, (jnp.full((g, 1), lo0, jnp.int32),
+                      jnp.full((g, 1), hi0, jnp.int32)))
+    return lo
+
+
+def prefix_ranks(sel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive prefix sum of a 0/1 (8, C) array in global row-major order.
+
+    Returns (ranks (8, C) int32, total scalar). Hillis-Steele within rows,
+    static unroll across the 8 sublanes (as ops/masked_select._sample_kernel).
+    """
+    c = sel.shape[1]
+    row_cum = sel.astype(jnp.int32)
+    d = 1
+    while d < c:
+        shifted = jnp.concatenate(
+            [jnp.zeros((8, d), jnp.int32), row_cum[:, :c - d]], axis=1)
+        row_cum = row_cum + shifted
+        d *= 2
+    row_tot = row_cum[:, c - 1:c]                        # (8, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    row_off = jnp.zeros((8, 1), jnp.int32)
+    for r in range(1, 8):
+        row_off = row_off + jnp.where(row_ids >= r, row_tot[r - 1:r], 0)
+    return row_cum + row_off, row_off[7, 0] + row_tot[7, 0]
+
+
+def sample_targets(cnt: jnp.ndarray, k: int, fill_u: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Target ranks (k, 1) for slot filling.
+
+    cnt >= k: targets 1..k (the k selected-by-key points in index order —
+    slot order is immaterial to the permutation-invariant net and the
+    per-point Bernoulli outcomes). cnt < k: reference natural-order prefix
+    + with-replacement uniform fill (``test_region_grow.py:237-252``).
+    fill_u (k, 1) uniforms in [0, 1).
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    cntf = jnp.maximum(cnt, 1).astype(jnp.float32)
+    fill = jnp.floor(fill_u * cntf).astype(jnp.int32) + 1
+    fill = jnp.clip(fill, 1, jnp.maximum(cnt, 1))
+    return jnp.where(j < jnp.minimum(cnt, k), j + 1, fill)
+
+
+def select_mask(keys: jnp.ndarray, mask: jnp.ndarray, cnt: jnp.ndarray,
+                k: int) -> jnp.ndarray:
+    """Uniform k-subset of ``mask`` when cnt >= k (threshold at the k-th
+    smallest masked key); ``mask`` itself when cnt <= k."""
+    kth = bisect_order_stat(keys, mask, jnp.minimum(cnt, k), 0, 2 ** 31 - 1)
+    # no jnp.where on bool vectors (Mosaic cannot legalize i1 selects)
+    return mask & ((keys <= kth) | (cnt <= k))
+
+
+def forward_confidences_t(w: List[jnp.ndarray], x_in: jnp.ndarray,
+                          x_nb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Transposed-space LrgNet forward.
+
+    x_in/x_nb (16, k) f32 (rows >= F zero). ``w`` is the packed weight list
+    (see ``pack_lrgnet_weights``). Returns (add_conf (1, k), rmv_conf (1, k))
+    — per-slot P(add=1)/P(remove=1), identical to softmax(logits)[:, 1] of
+    ``models.lrgnet.forward`` (the tiled-global head is algebraically
+    refactored into a matvec bias; same arithmetic result).
+    """
+    (in_w, nb_w, add_h, rmv_h, biases) = w
+
+    def branch(ws, boff, x):
+        skip = None
+        for i, wm in enumerate(ws):
+            cout = wm.shape[0]
+            b = biases[0:cout, boff + i:boff + i + 1]
+            x = jnp.dot(wm, x, preferred_element_type=jnp.float32) + b
+            x = jnp.maximum(x, 0.0)
+            if i == 1:
+                skip = x
+        return x, skip
+
+    feat_in, skip_in = branch(in_w, 0, x_in)
+    feat_nb, skip_nb = branch(nb_w, 5, x_nb)
+    pooled_in = jnp.max(feat_in, axis=1, keepdims=True)      # (512, 1)
+    pooled_nb = jnp.max(feat_nb, axis=1, keepdims=True)
+
+    def head(h, boff, skip):
+        wg_in, wg_nb, ws, w1, w2 = h
+        b0 = biases[0:ws.shape[0], boff:boff + 1]
+        bias_tot = (jnp.dot(wg_in, pooled_in,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(wg_nb, pooled_nb,
+                              preferred_element_type=jnp.float32) + b0)
+        h1 = jnp.maximum(jnp.dot(ws, skip,
+                                 preferred_element_type=jnp.float32)
+                         + bias_tot, 0.0)
+        b1 = biases[0:w1.shape[0], boff + 1:boff + 2]
+        h2 = jnp.maximum(jnp.dot(w1, h1,
+                                 preferred_element_type=jnp.float32) + b1, 0.0)
+        b2 = biases[0:w2.shape[0], boff + 2:boff + 3]
+        logits = jnp.dot(w2, h2, preferred_element_type=jnp.float32) + b2
+        # rows 0/1 = the 2 logits; conf = softmax[..., 1] = sigmoid(l1 - l0)
+        return jax.nn.sigmoid(logits[1:2, :] - logits[0:1, :])
+
+    add_conf = head(add_h, 10, skip_nb)
+    rmv_conf = head(rmv_h, 13, skip_in)
+    return add_conf, rmv_conf
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing
+# ---------------------------------------------------------------------------
+
+def pack_lrgnet_weights(params, feature_size: int) -> List[np.ndarray]:
+    """LrgNet params -> flat list of transposed/padded/split f32 arrays.
+
+    Order: in_W0..4, nb_W0..4, add_{Wg_in,Wg_nb,Ws,W1,W2},
+    rmv_{...}, biases (512, 16).
+    Head layer-0 weights are split into global (inlier-pooled 0:512,
+    neighbor-pooled 512:1024) and skip (1024:1088) row blocks of the
+    reference's concat layout (``learn_region_grow_util.py:128-149``).
+    """
+    out: List[np.ndarray] = []
+    biases = np.zeros((512, 16), np.float32)
+
+    def branch(layers, boff):
+        mats = []
+        for i, layer in enumerate(layers):
+            wt = np.asarray(layer["w"], np.float32).T          # (cout, cin)
+            cout, cin = wt.shape
+            cin_pad = 16 if i == 0 else cin
+            m = np.zeros((cout, cin_pad), np.float32)
+            m[:, :cin] = wt
+            mats.append(m)
+            biases[:cout, boff + i] = np.asarray(layer["b"], np.float32)
+        return mats
+
+    in_mats = branch(params["inlier_mlp"], 0)
+    nb_mats = branch(params["neighbor_mlp"], 5)
+    out.extend(in_mats)
+    out.extend(nb_mats)
+
+    def head(layers, boff):
+        w0 = np.asarray(layers[0]["w"], np.float32)            # (1088, 256)
+        g = w0.shape[0] - 64  # global feature width (2 * 512)
+        half = g // 2
+        wg_in = w0[:half].T.copy()                             # (256, 512)
+        wg_nb = w0[half:g].T.copy()
+        ws = w0[g:].T.copy()                                   # (256, 64)
+        biases[:256, boff] = np.asarray(layers[0]["b"], np.float32)
+        w1 = np.asarray(layers[1]["w"], np.float32).T.copy()   # (128, 256)
+        biases[:128, boff + 1] = np.asarray(layers[1]["b"], np.float32)
+        w2t = np.asarray(layers[2]["w"], np.float32).T         # (2, 128)
+        w2 = np.zeros((8, 128), np.float32)
+        w2[:2] = w2t
+        biases[:2, boff + 2] = np.asarray(layers[2]["b"], np.float32)
+        return [wg_in, wg_nb, ws, w1, w2]
+
+    out.extend(head(params["add_head"], 10))
+    out.extend(head(params["remove_head"], 13))
+    out.append(biases)
+    return out
+
+
+def pack_room(rf, p: int, feature_size: int):
+    """RoomFeatures -> (feat (16,P) f32, vox (24,P8) i32, rank (8,P8) i32,
+    obj (8,P8) i32). rank = position in the stable ascending-curvature
+    order (the reference's seed order); padding gets rank BIG."""
+    n = len(rf.points)
+    p8 = p // 8
+    feat = np.zeros((16, p), np.float32)
+    feat[:feature_size, :n] = rf.points[:, :feature_size].T
+    vox = np.zeros((3, p), np.int32)
+    vox[:, :n] = rf.voxels.T
+    vox24 = vox.reshape(3, 8, p8).reshape(24, p8)
+    order = np.argsort(rf.curvatures, kind="stable")
+    rank_flat = np.full(p, 2 ** 30, np.int64)
+    rank_flat[order] = np.arange(n)
+    rank = rank_flat.reshape(8, p8).astype(np.int32)
+    obj_flat = np.full(p, -1, np.int64)
+    obj_flat[:n] = rf.obj_id
+    obj = obj_flat.reshape(8, p8).astype(np.int32)
+    return feat, vox24, rank, obj
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _unpack_weight_refs(refs):
+    in_w = [r[...] for r in refs[0:5]]
+    nb_w = [r[...] for r in refs[5:10]]
+    add_h = [r[...] for r in refs[10:15]]
+    rmv_h = [r[...] for r in refs[15:20]]
+    biases = refs[20][...]
+    return (in_w, nb_w, add_h, rmv_h, biases)
+
+
+def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
+                 *refs, k: int, feature_size: int, max_steps: int,
+                 cluster_threshold: int, max_instances: int, chunk: int,
+                 exact_median: bool):
+    (labels_ref, log_ref, counters_ref,
+     visited_s, tried_s, current_s, addpt_s, rmvpt_s, enc_s) = (
+        refs[21], refs[22], refs[23], refs[24], refs[25], refs[26],
+        refs[27], refs[28], refs[29])
+    w = _unpack_weight_refs(refs[0:21])
+
+    p8 = rank_ref.shape[2]
+    p = 8 * p8
+    n_chunks = p8 // chunk
+    room_seed = seed_ref[0, 0]
+
+    rank = rank_ref[0]
+    vox_x = vox_ref[0, 0:8, :]
+    vox_y = vox_ref[0, 8:16, :]
+    vox_z = vox_ref[0, 16:24, :]
+    obj = obj_ref[0]
+    valid = rank < BIG
+    glob_idx = (jax.lax.broadcasted_iota(jnp.int32, (8, p8), 0) * p8
+                + jax.lax.broadcasted_iota(jnp.int32, (8, p8), 1))
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    visited_s[...] = jnp.zeros((8, p8), jnp.int32)
+    tried_s[...] = jnp.zeros((8, p8), jnp.int32)
+    labels_ref[...] = jnp.zeros((1, 8, p8), jnp.int32)
+    log_ref[...] = jnp.zeros((1, max_instances, 8), jnp.float32)
+
+    # recenter rows: xy + feature cols 6.. (engine.grow._recenter_cols)
+    rec_rows = [0, 1] + list(range(6, feature_size))
+    n_rec = len(rec_rows)
+    if exact_median:
+        # enc_s rows g*8+r = sortable encoding of feature rec_rows[g],
+        # sublane r — built once per room
+        for g, fr in enumerate(rec_rows):
+            enc_row = sortable_encode(feat_ref[0, fr:fr + 1, :])   # (1, P)
+            for r in range(8):
+                enc_s[g * 8 + r: g * 8 + r + 1, :] = (
+                    enc_row[:, r * p8:(r + 1) * p8])
+        # block-sum pooling matrix pool[g, j] = (j // 8 == g), built from
+        # iotas so it is not a captured constant
+        pr = jax.lax.broadcasted_iota(jnp.int32, (n_rec, n_rec * 8), 0)
+        pc = jax.lax.broadcasted_iota(jnp.int32, (n_rec, n_rec * 8), 1)
+        pool = ((pc // 8) == pr).astype(jnp.float32)
+
+    def gather_and_onehot_pass(sel, ranks, targets, dec=None):
+        """One pass over the room in (row, chunk) slabs.
+
+        dec is None: returns gathered (16, k).
+        dec (1, k): returns (point hit rows written into a python list of
+        (r, cc, (1, chunk)) values, slot_sel (1, k)) — the caller writes
+        rows into scratch.
+        """
+        gathered = jnp.zeros((16, k), jnp.float32)
+        slot_sel = jnp.zeros((1, k), jnp.float32)
+        hits = []
+        for r in range(8):
+            for cc in range(n_chunks):
+                lo = cc * chunk
+                rank_sl = ranks[r:r + 1, lo:lo + chunk]        # (1, chunk)
+                sel_sl = sel[r:r + 1, lo:lo + chunk]
+                onehot = ((targets == rank_sl) & sel_sl).astype(jnp.float32)
+                if dec is None:
+                    fcol = r * p8 + lo
+                    feat_sl = feat_ref[0, :, fcol:fcol + chunk]  # (16, chunk)
+                    gathered = gathered + jax.lax.dot_general(
+                        feat_sl, onehot, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    pt = jnp.dot(dec, onehot,
+                                 preferred_element_type=jnp.float32)  # (1,chunk)
+                    pt = (pt > 0).astype(jnp.float32)
+                    hits.append((r, lo, pt))
+                    slot_sel = slot_sel + jax.lax.dot_general(
+                        pt, onehot, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        if dec is None:
+            return gathered
+        return hits, slot_sel
+
+    def sample_and_gather(mask, cnt, ctr):
+        keys = hash_keys(glob_idx, room_seed * 131 + ctr)
+        sel = select_mask(keys, mask, cnt, k)
+        ranks, _ = prefix_ranks(sel)
+        fill_u = uniform01(hash_keys(kcol, room_seed * 131 + ctr + 1))
+        targets = sample_targets(cnt, k, fill_u)
+        gathered = gather_and_onehot_pass(sel, ranks, targets)
+        return sel, ranks, targets, gathered
+
+    def median_offset():
+        """(16, 1) recenter offset from the exact masked median of the
+        current mask over the recenter rows."""
+        cur = current_s[...] > 0
+        cnt = jnp.sum(jnp.where(cur, 1, 0))
+        mask_tiled = jnp.concatenate([cur] * n_rec, axis=0)
+        lo_r = (cnt - 1) // 2 + 1
+        hi_r = cnt // 2 + 1
+        v_lo = bisect_order_stat_cols(enc_s[...], mask_tiled, pool, lo_r,
+                                      -2 ** 31, 2 ** 31 - 1)
+        v_hi = bisect_order_stat_cols(enc_s[...], mask_tiled, pool, hi_r,
+                                      -2 ** 31, 2 ** 31 - 1)
+        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))  # (G,1)
+        # scatter (n_rec, 1) medians to (16, 1) offset rows
+        row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        off = jnp.zeros((16, 1), jnp.float32)
+        for g, fr in enumerate(rec_rows):
+            off = off + jnp.where(row16 == fr, med[g, 0], 0.0)
+        return off
+
+    def sampled_median_offset(gathered):
+        """(16, 1) offset from the 512 SAMPLED inliers (fast mode)."""
+        enc = sortable_encode(gathered)                     # (16, k)
+        lo_r = jnp.int32((k - 1) // 2 + 1)
+        hi_r = jnp.int32(k // 2 + 1)
+
+        def stat(rank):
+            def body(_, carry):
+                lo, hi = carry                              # (16, 1)
+                mid = _midpoint(lo, hi)
+                c = jnp.sum((enc <= mid).astype(jnp.int32), axis=1,
+                            keepdims=True)
+                take = c >= rank
+                return (jnp.where(take, lo, mid + 1),
+                        jnp.where(take, mid, hi))
+            lo, hi = jax.lax.fori_loop(
+                0, 33, body, (jnp.full((16, 1), -2 ** 31, jnp.int32),
+                              jnp.full((16, 1), 2 ** 31 - 1, jnp.int32)))
+            return lo
+        med = 0.5 * (sortable_decode(stat(lo_r)) + sortable_decode(stat(hi_r)))
+        row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        rec = jnp.zeros((16, 1), dtype=bool)
+        for fr in rec_rows:
+            rec = rec | (row16 == fr)
+        return jnp.where(rec, med, 0.0)
+
+    def inner_body(carry):
+        (done, steps, stuck, min_x, min_y, min_z, max_x, max_y, max_z,
+         smin_x, smin_y, smin_z, smax_x, smax_y, smax_z,
+         log_prob, reason, ctr) = carry
+        cur = current_s[...] > 0
+        cur_cnt = jnp.sum(jnp.where(cur, 1, 0))
+        vis = visited_s[...] > 0
+        nb_mask = (valid & ~cur & ~vis
+                   & (vox_x >= min_x - 1) & (vox_x <= max_x + 1)
+                   & (vox_y >= min_y - 1) & (vox_y <= max_y + 1)
+                   & (vox_z >= min_z - 1) & (vox_z <= max_z + 1))
+        nb_cnt = jnp.sum(jnp.where(nb_mask, 1, 0))
+        no_neighbor = nb_cnt == 0
+
+        in_sel, in_ranks, in_targets, g_in = sample_and_gather(
+            cur, cur_cnt, ctr)
+        nb_sel, nb_ranks, nb_targets, g_nb = sample_and_gather(
+            nb_mask, nb_cnt, ctr + 2)
+
+        if exact_median:
+            off = median_offset()
+        else:
+            off = sampled_median_offset(g_in)
+        x_in = g_in - off
+        x_nb = g_nb - off
+
+        add_conf, rmv_conf = forward_confidences_t(w, x_in, x_nb)  # (1, k)
+
+        u_add = uniform01(hash_keys(krow, room_seed * 131 + ctr + 4))
+        u_rmv = uniform01(hash_keys(krow, room_seed * 131 + ctr + 5))
+        add_dec = (u_add < add_conf).astype(jnp.float32)
+        rmv_dec = (u_rmv < rmv_conf).astype(jnp.float32)
+
+        add_hits, add_slot_sel = gather_and_onehot_pass(
+            nb_sel, nb_ranks, nb_targets, dec=add_dec)
+        for r, lo, pt in add_hits:
+            addpt_s[r:r + 1, lo:lo + chunk] = pt.astype(jnp.int32)
+        rmv_hits, rmv_slot_sel = gather_and_onehot_pass(
+            in_sel, in_ranks, in_targets, dec=rmv_dec)
+        for r, lo, pt in rmv_hits:
+            rmvpt_s[r:r + 1, lo:lo + chunk] = pt.astype(jnp.int32)
+
+        eps = jnp.float32(1e-10)
+        a_sel = add_slot_sel > 0
+        r_sel = rmv_slot_sel > 0
+        step_lp = (jnp.sum(jnp.log(jnp.where(a_sel, add_conf,
+                                             1.0 - add_conf) + eps))
+                   + jnp.sum(jnp.log(jnp.where(r_sel, rmv_conf,
+                                               1.0 - rmv_conf) + eps))
+                   ) / jnp.float32(k)
+
+        add_pt = addpt_s[...] > 0
+        rmv_pt = rmvpt_s[...] > 0
+        new_cur = (cur | add_pt) & ~rmv_pt
+        updated = jnp.sum(jnp.where(add_pt, 1, 0)) > 0
+        new_cnt = jnp.sum(jnp.where(new_cur, 1, 0))
+
+        vmin_x = jnp.min(jnp.where(new_cur, vox_x, BIG))
+        vmax_x = jnp.max(jnp.where(new_cur, vox_x, -BIG))
+        vmin_y = jnp.min(jnp.where(new_cur, vox_y, BIG))
+        vmax_y = jnp.max(jnp.where(new_cur, vox_y, -BIG))
+        vmin_z = jnp.min(jnp.where(new_cur, vox_z, BIG))
+        vmax_z = jnp.max(jnp.where(new_cur, vox_z, -BIG))
+        within = ((vmin_x >= smin_x) & (vmin_y >= smin_y) & (vmin_z >= smin_z)
+                  & (vmax_x <= smax_x) & (vmax_y <= smax_y)
+                  & (vmax_z <= smax_z))
+        stuck_stop = within & (stuck >= 1)
+        new_stuck = jnp.where(within, stuck + 1, 0)
+
+        new_steps = steps + 1
+        hit_cap = new_steps >= max_steps
+        done_now = (no_neighbor | ~updated | (new_cnt == 0) | stuck_stop
+                    | hit_cap)
+        new_reason = jnp.where(
+            no_neighbor, REASON_NONEIGHBOR,
+            jnp.where(~updated | (new_cnt == 0), REASON_NOEXPAND,
+                      jnp.where(stuck_stop, REASON_STUCK,
+                                jnp.where(hit_cap, REASON_MAXSTEPS, 0))))
+
+        # commit: on noneighbor the reference breaks before the update
+        # (boolean algebra — Mosaic cannot legalize selects on i1 vectors)
+        commit = (cur & no_neighbor) | (new_cur & ~no_neighbor)
+        current_s[...] = commit.astype(jnp.int32)
+
+        def upd(v_new, v_old):
+            return jnp.where(done_now, v_old, v_new)
+
+        return (done | done_now,
+                jnp.where(no_neighbor, steps, new_steps),
+                upd(new_stuck, stuck),
+                upd(vmin_x, min_x), upd(vmin_y, min_y), upd(vmin_z, min_z),
+                upd(vmax_x, max_x), upd(vmax_y, max_y), upd(vmax_z, max_z),
+                upd(jnp.minimum(smin_x, vmin_x), smin_x),
+                upd(jnp.minimum(smin_y, vmin_y), smin_y),
+                upd(jnp.minimum(smin_z, vmin_z), smin_z),
+                upd(jnp.maximum(smax_x, vmax_x), smax_x),
+                upd(jnp.maximum(smax_y, vmax_y), smax_y),
+                upd(jnp.maximum(smax_z, vmax_z), smax_z),
+                jnp.where(no_neighbor, log_prob, log_prob + step_lp),
+                jnp.where(done_now, new_reason, reason),
+                ctr + 8)
+
+    def outer_body(carry):
+        inst, cluster_id, ctr, _remaining = carry
+        vis = visited_s[...] > 0
+        tried = tried_s[...] > 0
+        cand = valid & ~vis & ~tried
+        seed_rank = jnp.min(jnp.where(cand, rank, BIG))
+        seed_mask = cand & (rank == seed_rank)
+        tried_s[...] = (tried | seed_mask).astype(jnp.int32)
+        current_s[...] = seed_mask.astype(jnp.int32)
+        sx = jnp.sum(jnp.where(seed_mask, vox_x, 0))
+        sy = jnp.sum(jnp.where(seed_mask, vox_y, 0))
+        sz = jnp.sum(jnp.where(seed_mask, vox_z, 0))
+        seed_idx = jnp.sum(jnp.where(seed_mask, glob_idx, 0))
+        target = jnp.sum(jnp.where(seed_mask, obj, 0))
+
+        init = (jnp.bool_(False), jnp.int32(0), jnp.int32(0),
+                sx, sy, sz, sx, sy, sz, sx, sy, sz, sx, sy, sz,
+                jnp.float32(0.0), jnp.int32(0), ctr)
+        final = jax.lax.while_loop(lambda c: ~c[0], inner_body, init)
+        (_d, steps, _stk, *_rest) = final
+        log_prob = final[15]
+        reason = final[16]
+        new_ctr = final[17] + 8
+
+        cur = current_s[...] > 0
+        cnt = jnp.sum(jnp.where(cur, 1, 0))
+        visited_s[...] = ((visited_s[...] > 0) | cur).astype(jnp.int32)
+        kept = cnt > cluster_threshold
+        labels_ref[0] = jnp.where(cur & kept, cluster_id, labels_ref[0])
+        gt_cnt = jnp.sum(jnp.where(valid & (obj == target), 1, 0))
+
+        # masked instance-record write (axon rejects scalar VMEM stores)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (max_instances, 8), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (max_instances, 8), 1)
+        fields = [seed_idx.astype(jnp.float32),
+                  target.astype(jnp.float32),
+                  steps.astype(jnp.float32),
+                  cnt.astype(jnp.float32),
+                  gt_cnt.astype(jnp.float32),
+                  reason.astype(jnp.float32),
+                  log_prob,
+                  kept.astype(jnp.float32)]
+        rec = jnp.zeros((max_instances, 8), jnp.float32)
+        for i, f in enumerate(fields):
+            rec = rec + jnp.where(col_i == i, f, 0.0)
+        log_ref[0] = jnp.where(row_i == inst, rec, log_ref[0])
+
+        vis2 = visited_s[...] > 0
+        tried2 = tried_s[...] > 0
+        remaining = jnp.sum(jnp.where(valid & ~vis2 & ~tried2, 1, 0))
+        return (inst + 1, jnp.where(kept, cluster_id + 1, cluster_id),
+                new_ctr, remaining)
+
+    def outer_cond(carry):
+        inst, _cid, _ctr, remaining = carry
+        return (remaining > 0) & (inst < max_instances)
+
+    n_valid0 = jnp.sum(jnp.where(valid, 1, 0))
+    inst, cluster_id, _ctr, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), jnp.int32(1), jnp.int32(0), n_valid0))
+
+    row_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    counters = (jnp.where((row_c == 0) & (col_c == 0), cluster_id - 1, 0)
+                + jnp.where((row_c == 0) & (col_c == 1), inst, 0))
+    counters_ref[0] = counters
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
+    "exact_median", "interpret"))
+def fused_grow_rooms(seeds, feat, vox, rank, obj, weights, *, k: int,
+                     feature_size: int, max_steps: int,
+                     cluster_threshold: int, max_instances: int = 512,
+                     exact_median: bool = True, interpret: bool = False):
+    """Segment G rooms (grid-sequential) fully on device.
+
+    seeds (G, 1) i32 (per-room PRNG seeds); feat (G, 16, P) f32;
+    vox (G, 24, P8) i32;
+    rank/obj (G, 8, P8) i32; weights = pack_lrgnet_weights list.
+    Returns (labels (G, 8, P8) i32, log (G, max_instances, 8) f32,
+    counters (G, 8, 128) i32).
+    """
+    g_rooms, _, p = feat.shape
+    p8 = p // 8
+    chunk = min(2048, p8)
+    n_rec = 2 + (feature_size - 6)
+
+    kernel = functools.partial(
+        _grow_kernel, k=k, feature_size=feature_size, max_steps=max_steps,
+        cluster_threshold=cluster_threshold, max_instances=max_instances,
+        chunk=chunk, exact_median=exact_median)
+
+    w_specs = [pl.BlockSpec(wm.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM) for wm in weights]
+    out_shapes = (
+        jax.ShapeDtypeStruct((g_rooms, 8, p8), jnp.int32),
+        jax.ShapeDtypeStruct((g_rooms, max_instances, 8), jnp.float32),
+        jax.ShapeDtypeStruct((g_rooms, 8, 128), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 8, p8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, max_instances, 8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g_rooms,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, p8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, p8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, p8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((8, p8), jnp.int32),     # visited
+            pltpu.VMEM((8, p8), jnp.int32),     # tried
+            pltpu.VMEM((8, p8), jnp.int32),     # current
+            pltpu.VMEM((8, p8), jnp.int32),     # add points
+            pltpu.VMEM((8, p8), jnp.int32),     # remove points
+            pltpu.VMEM((n_rec * 8, p8), jnp.int32),   # sortable feat enc
+        ],
+        interpret=interpret,
+    )(seeds, feat, vox, rank, obj, *weights)

@@ -1,0 +1,122 @@
+"""Fused whole-room grow kernel: helper oracles + interpret-mode e2e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from learn_region_grow_tpu.core import prepare_room
+from learn_region_grow_tpu.engine.grow import (GrowConfig, segment_rooms,
+                                               segment_rooms_fused)
+from learn_region_grow_tpu.eval.metrics import room_metrics
+from learn_region_grow_tpu.models import lrgnet
+from learn_region_grow_tpu.ops import fused_grow as fg
+
+
+def test_sortable_encoding_monotone():
+    rng = np.random.RandomState(0)
+    x = np.float32(rng.randn(1000) * 100)
+    x[:10] = [0.0, -0.0, 1e-38, -1e-38, 3.4e38, -3.4e38, 1.5, -1.5, 2.0, -2.0]
+    enc = np.asarray(fg.sortable_encode(jnp.asarray(x)))
+    # value order preserved (-0.0 and 0.0 are value-equal ties)
+    np.testing.assert_array_equal(x[np.argsort(enc, kind="stable")],
+                                  np.sort(x, kind="stable"))
+    np.testing.assert_array_equal(
+        np.asarray(fg.sortable_decode(jnp.asarray(enc))), x)
+
+
+def test_bisect_order_stat_matches_sort():
+    rng = np.random.RandomState(1)
+    vals = rng.randint(-2 ** 31, 2 ** 31 - 1, (8, 256)).astype(np.int32)
+    mask = rng.rand(8, 256) < 0.4
+    srt = np.sort(vals[mask])
+    for rank in (1, 7, len(srt) // 2, len(srt)):
+        v = int(fg.bisect_order_stat(jnp.asarray(vals), jnp.asarray(mask),
+                                     jnp.int32(rank), -2 ** 31, 2 ** 31 - 1))
+        assert v == srt[rank - 1], (rank, v, srt[rank - 1])
+
+
+def test_prefix_ranks_matches_cumsum():
+    rng = np.random.RandomState(2)
+    sel = rng.rand(8, 128) < 0.3
+    ranks, tot = fg.prefix_ranks(jnp.asarray(sel))
+    np.testing.assert_array_equal(
+        np.asarray(ranks), np.cumsum(sel.reshape(-1)).reshape(8, 128))
+    assert int(tot) == sel.sum()
+
+
+def test_select_mask_exact_subset():
+    """cnt > k: exactly k masked points; cnt <= k: the mask itself."""
+    rng = np.random.RandomState(3)
+    mask = rng.rand(8, 128) < 0.5
+    cnt = int(mask.sum())
+    keys = fg.hash_keys(jnp.arange(8 * 128).reshape(8, 128), jnp.int32(7))
+    assert (np.asarray(keys) >= 0).all()
+    for k in (16, cnt, 1023):
+        sel = np.asarray(fg.select_mask(keys, jnp.asarray(mask),
+                                        jnp.int32(cnt), k))
+        assert (sel <= mask).all()
+        assert sel.sum() == min(cnt, k) if cnt >= k else sel.sum() == cnt
+
+
+def test_sample_targets_reference_fill():
+    """cnt < k: natural-order prefix + with-replacement fill in [1, cnt]."""
+    u = jnp.asarray(np.random.RandomState(4).rand(16, 1), jnp.float32)
+    t = np.asarray(fg.sample_targets(jnp.int32(5), 16, u)).reshape(-1)
+    np.testing.assert_array_equal(t[:5], np.arange(1, 6))
+    assert ((t[5:] >= 1) & (t[5:] <= 5)).all()
+    t2 = np.asarray(fg.sample_targets(jnp.int32(40), 16, u)).reshape(-1)
+    np.testing.assert_array_equal(t2, np.arange(1, 17))
+
+
+def test_forward_confidences_match_lrgnet():
+    """The transposed-space forward (split-head algebra) is numerically
+    the reference forward."""
+    rng = np.random.RandomState(5)
+    cfg = lrgnet.LrgNetConfig(feature_size=13)
+    params = lrgnet.init_params(jax.random.PRNGKey(0), cfg)
+    w = [jnp.asarray(a) for a in fg.pack_lrgnet_weights(params, 13)]
+    wt = (w[0:5], w[5:10], w[10:15], w[15:20], w[20])
+    k = 128
+    xi = np.float32(rng.randn(16, k))
+    xn = np.float32(rng.randn(16, k))
+    xi[13:] = 0
+    xn[13:] = 0
+    ac, rc = fg.forward_confidences_t(wt, jnp.asarray(xi), jnp.asarray(xn))
+    out = lrgnet.forward(params, jnp.asarray(xi[:13].T)[None],
+                         jnp.asarray(xn[:13].T)[None], cfg)
+    np.testing.assert_allclose(
+        np.asarray(ac)[0],
+        np.asarray(jax.nn.softmax(out["add_logits"][0], axis=-1)[:, 1]),
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(rc)[0],
+        np.asarray(jax.nn.softmax(out["remove_logits"][0], axis=-1)[:, 1]),
+        rtol=2e-4, atol=2e-5)
+
+
+def test_fused_segment_matches_engine_quality(tiny_rooms, trained):
+    """Interpret-mode end-to-end: the fused kernel reaches the batched
+    engine's quality on the fixture and is deterministic."""
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+
+    res_f = segment_rooms_fused(params, mcfg, [rf], gcfg,
+                                max_instances=128, interpret=True)[0]
+    assert res_f.cluster_label.shape == (len(rf.points),)
+    assert (res_f.cluster_label > 0).all()
+    assert res_f.num_clusters >= 1
+    assert len(res_f.instances) >= res_f.num_clusters
+    assert all(r["reason"] in ("noneighbor", "noexpand", "stuck", "maxsteps")
+               for r in res_f.instances)
+    m_f, _ = room_metrics(rf.obj_id, res_f.cluster_label)
+
+    res_x = segment_rooms(params, mcfg, [rf], gcfg)[0]
+    m_x, _ = room_metrics(rf.obj_id, res_x.cluster_label)
+    assert m_f.nmi > 0.5, f"fused NMI too low: {m_f.nmi} (xla {m_x.nmi})"
+    assert m_f.nmi > m_x.nmi - 0.2, (m_f.nmi, m_x.nmi)
+
+    res_f2 = segment_rooms_fused(params, mcfg, [rf], gcfg,
+                                 max_instances=128, interpret=True)[0]
+    np.testing.assert_array_equal(res_f.cluster_label, res_f2.cluster_label)
