@@ -344,7 +344,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
     (labels_ref, log_ref, counters_ref,
-     visited_s, tried_s, current_s, addpt_s, rmvpt_s, enc_s) = (
+     visited_s, tried_s, current_s, sel_s, ranks_s, enc_s) = (
         refs[21], refs[22], refs[23], refs[24], refs[25], refs[26],
         refs[27], refs[28], refs[29])
     w = _unpack_weight_refs(refs[0:21])
@@ -352,7 +352,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
     p8 = rank_ref.shape[2]
     p = 8 * p8
     n_chunks = p8 // chunk
-    room_seed = seed_ref[0, 0]
+    room_seed = seed_ref[pl.program_id(0), 0]
 
     rank = rank_ref[0]
     vox_x = vox_ref[0, 0:8, :]
@@ -363,7 +363,6 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
     glob_idx = (jax.lax.broadcasted_iota(jnp.int32, (8, p8), 0) * p8
                 + jax.lax.broadcasted_iota(jnp.int32, (8, p8), 1))
     kcol = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     visited_s[...] = jnp.zeros((8, p8), jnp.int32)
     tried_s[...] = jnp.zeros((8, p8), jnp.int32)
@@ -387,49 +386,82 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         pc = jax.lax.broadcasted_iota(jnp.int32, (n_rec, n_rec * 8), 1)
         pool = ((pc // 8) == pr).astype(jnp.float32)
 
-    def gather_and_onehot_pass(sel, ranks, targets, dec=None):
-        """One pass over the room in (row, chunk) slabs.
+    def gather_pass(targets):
+        """Rank-match gather over the room in column slabs (fori_loop, so
+        Mosaic reuses ONE slab's temporaries — unrolled chunk loops blow
+        the scoped-vmem stack at P=16384).
 
-        dec is None: returns gathered (16, k).
-        dec (1, k): returns (point hit rows written into a python list of
-        (r, cc, (1, chunk)) values, slot_sel (1, k)) — the caller writes
-        rows into scratch.
+        Reads sel/ranks from scratch via dynamic pl.ds slices (the proven
+        ops/masked_select pattern). Returns (gathered (16, k) f32,
+        idx_col (k, 1) f32 — the sampled points' exact global indices,
+        f32-exact for P <= 2^24).
         """
-        gathered = jnp.zeros((16, k), jnp.float32)
-        slot_sel = jnp.zeros((1, k), jnp.float32)
-        hits = []
-        for r in range(8):
-            for cc in range(n_chunks):
-                lo = cc * chunk
-                rank_sl = ranks[r:r + 1, lo:lo + chunk]        # (1, chunk)
-                sel_sl = sel[r:r + 1, lo:lo + chunk]
-                onehot = ((targets == rank_sl) & sel_sl).astype(jnp.float32)
-                if dec is None:
-                    fcol = r * p8 + lo
-                    feat_sl = feat_ref[0, :, fcol:fcol + chunk]  # (16, chunk)
-                    gathered = gathered + jax.lax.dot_general(
-                        feat_sl, onehot, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                else:
-                    pt = jnp.dot(dec, onehot,
-                                 preferred_element_type=jnp.float32)  # (1,chunk)
-                    pt = (pt > 0).astype(jnp.float32)
-                    hits.append((r, lo, pt))
-                    slot_sel = slot_sel + jax.lax.dot_general(
-                        pt, onehot, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-        if dec is None:
-            return gathered
-        return hits, slot_sel
+        chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+        def body(cc, carry):
+            gathered, idx_col = carry
+            lo = cc * chunk
+            rr = ranks_s[pl.ds(0, 8), pl.ds(lo, chunk)]      # (8, chunk)
+            ss = sel_s[pl.ds(0, 8), pl.ds(lo, chunk)]
+            flat_rr = rr.reshape(1, 8 * chunk)
+            flat_ss = ss.reshape(1, 8 * chunk)
+            hit = (targets == flat_rr) & (flat_ss > 0)       # (k, 8*chunk)
+            onehot = hit.astype(jnp.float32)
+            feat_slab = jnp.concatenate(
+                [feat_ref[0, :, pl.ds(r * p8 + lo, chunk)] for r in range(8)],
+                axis=1)                                      # (16, 8*chunk)
+            glob_row = jnp.concatenate(
+                [r * p8 + lo + chunk_iota for r in range(8)],
+                axis=1)                                      # (1, 8*chunk) i32
+            gathered = gathered + jax.lax.dot_general(
+                feat_slab, onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # index accumulation must be BIT-EXACT (equality compares drive
+            # the scatter): int32 masked sum on the VPU, never the MXU
+            idx_col = idx_col + jnp.sum(jnp.where(hit, glob_row, 0),
+                                        axis=1, keepdims=True)
+            return gathered, idx_col
+
+        return jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.zeros((16, k), jnp.float32), jnp.zeros((k, 1), jnp.int32)))
 
     def sample_and_gather(mask, cnt, ctr):
+        """Exact masked resampling: writes sel/ranks to scratch, gathers the
+        k sampled feature columns + their global indices."""
         keys = hash_keys(glob_idx, room_seed * 131 + ctr)
         sel = select_mask(keys, mask, cnt, k)
         ranks, _ = prefix_ranks(sel)
+        sel_s[...] = sel.astype(jnp.int32)
+        ranks_s[...] = ranks
         fill_u = uniform01(hash_keys(kcol, room_seed * 131 + ctr + 1))
         targets = sample_targets(cnt, k, fill_u)
-        gathered = gather_and_onehot_pass(sel, ranks, targets)
-        return sel, ranks, targets, gathered
+        return gather_pass(targets)
+
+    def scatter_pass(idx_col, dec_col):
+        """Decisions (k, 1) at sampled indices (k, 1) -> point mask
+        (8, P8) i32 + duplicate-slot-OR membership slot_sel (1, k).
+
+        Pure compares against index iotas — no dynamic writes, one row's
+        temporaries live at a time (fori)."""
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        colp = jax.lax.broadcasted_iota(jnp.int32, (1, p8), 1)
+        deci = dec_col > 0
+
+        def row_body(r, acc):
+            glob_row = r * p8 + colp                         # (1, P8) i32
+            hit = (idx_col == glob_row) & deci               # (k, P8)
+            row_hit = jnp.max(hit.astype(jnp.int32), axis=0,
+                              keepdims=True)                 # (1, P8)
+            return jnp.where(rows8 == r, row_hit, acc)
+
+        point_mask = jax.lax.fori_loop(
+            0, 8, row_body, jnp.zeros((8, p8), jnp.int32))
+        idx_row = idx_col.reshape(1, k)
+        dup_hit = (idx_col == idx_row) & deci                # (k, k)
+        slot_sel = jnp.max(dup_hit.astype(jnp.int32), axis=0,
+                           keepdims=True)                    # (1, k)
+        return point_mask, slot_sel
 
     def median_offset():
         """(16, 1) recenter offset from the exact masked median of the
@@ -491,10 +523,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         nb_cnt = jnp.sum(jnp.where(nb_mask, 1, 0))
         no_neighbor = nb_cnt == 0
 
-        in_sel, in_ranks, in_targets, g_in = sample_and_gather(
-            cur, cur_cnt, ctr)
-        nb_sel, nb_ranks, nb_targets, g_nb = sample_and_gather(
-            nb_mask, nb_cnt, ctr + 2)
+        g_in, idx_in = sample_and_gather(cur, cur_cnt, ctr)
+        g_nb, idx_nb = sample_and_gather(nb_mask, nb_cnt, ctr + 2)
 
         if exact_median:
             off = median_offset()
@@ -505,19 +535,16 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
 
         add_conf, rmv_conf = forward_confidences_t(w, x_in, x_nb)  # (1, k)
 
-        u_add = uniform01(hash_keys(krow, room_seed * 131 + ctr + 4))
-        u_rmv = uniform01(hash_keys(krow, room_seed * 131 + ctr + 5))
-        add_dec = (u_add < add_conf).astype(jnp.float32)
-        rmv_dec = (u_rmv < rmv_conf).astype(jnp.float32)
+        # decisions in column orientation (same hash values as a row draw;
+        # conf reshaped (1,k)->(k,1) — the lane/sublane relayout Mosaic
+        # accepts, cf. ops/masked_select t_col)
+        u_add = uniform01(hash_keys(kcol, room_seed * 131 + ctr + 4))
+        u_rmv = uniform01(hash_keys(kcol, room_seed * 131 + ctr + 5))
+        add_dec = (u_add < add_conf.reshape(k, 1)).astype(jnp.int32)
+        rmv_dec = (u_rmv < rmv_conf.reshape(k, 1)).astype(jnp.int32)
 
-        add_hits, add_slot_sel = gather_and_onehot_pass(
-            nb_sel, nb_ranks, nb_targets, dec=add_dec)
-        for r, lo, pt in add_hits:
-            addpt_s[r:r + 1, lo:lo + chunk] = pt.astype(jnp.int32)
-        rmv_hits, rmv_slot_sel = gather_and_onehot_pass(
-            in_sel, in_ranks, in_targets, dec=rmv_dec)
-        for r, lo, pt in rmv_hits:
-            rmvpt_s[r:r + 1, lo:lo + chunk] = pt.astype(jnp.int32)
+        add_pt_i, add_slot_sel = scatter_pass(idx_nb, add_dec)
+        rmv_pt_i, rmv_slot_sel = scatter_pass(idx_in, rmv_dec)
 
         eps = jnp.float32(1e-10)
         a_sel = add_slot_sel > 0
@@ -528,8 +555,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
                                                1.0 - rmv_conf) + eps))
                    ) / jnp.float32(k)
 
-        add_pt = addpt_s[...] > 0
-        rmv_pt = rmvpt_s[...] > 0
+        add_pt = add_pt_i > 0
+        rmv_pt = rmv_pt_i > 0
         new_cur = (cur | add_pt) & ~rmv_pt
         updated = jnp.sum(jnp.where(add_pt, 1, 0)) > 0
         new_cnt = jnp.sum(jnp.where(new_cur, 1, 0))
@@ -669,7 +696,9 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, weights, *, k: int,
     """
     g_rooms, _, p = feat.shape
     p8 = p // 8
-    chunk = min(2048, p8)
+    # a gather slab covers 8*chunk points; 128 keeps the (k, 8*chunk)
+    # one-hot at (512, 1024) f32 = 2 MB, reused across fori iterations
+    chunk = min(128, p8)
     n_rec = 2 + (feature_size - 6)
 
     kernel = functools.partial(
@@ -696,8 +725,9 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, weights, *, k: int,
         kernel,
         grid=(g_rooms,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            # whole (G, 1) seed table in SMEM, indexed by program_id (a
+            # blocked (1, 1) SMEM spec violates the tiling constraint)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24, p8), lambda i: (i, 0, 0),
@@ -713,9 +743,14 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, weights, *, k: int,
             pltpu.VMEM((8, p8), jnp.int32),     # visited
             pltpu.VMEM((8, p8), jnp.int32),     # tried
             pltpu.VMEM((8, p8), jnp.int32),     # current
-            pltpu.VMEM((8, p8), jnp.int32),     # add points
-            pltpu.VMEM((8, p8), jnp.int32),     # remove points
+            pltpu.VMEM((8, p8), jnp.int32),     # sampling selection mask
+            pltpu.VMEM((8, p8), jnp.int32),     # prefix ranks
             pltpu.VMEM((n_rec * 8, p8), jnp.int32),   # sortable feat enc
         ],
+        # the default 16 MB scoped-vmem budget is ~30 KB short at P=16384
+        # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has
+        # headroom above the compiler default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seeds, feat, vox, rank, obj, *weights)

@@ -178,3 +178,40 @@ def test_reference_protocol_runner(tiny_rooms, trained):
     assert timing["net"] > 0 and timing["inlier"] > 0
     m, _ = room_metrics(rf.obj_id, res.cluster_label)
     assert m.nmi > 0.5, f"NMI too low: {m.nmi}"
+
+
+def test_large_p_single_wave(tiny_rooms, trained):
+    """Scale smoke: one grow wave at a P=65,536 padded bucket (the
+    ScanNet-scale bucket, BASELINE.json config #4) — shapes, bit-packing
+    and bucket memory all hold; full-scale throughput lives in
+    results/scale_curve.txt (val_run/run_scale.py)."""
+    from learn_region_grow_tpu.engine.grow import grow_batch_rooms
+
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    n = len(rf.points)
+    P = 65536
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=2)
+    pts = np.zeros((1, P, 13), np.float32)
+    vox = np.zeros((1, P, 3), np.int32)
+    valid = np.zeros((1, P), bool)
+    obj = np.full((1, P), -1, np.int32)
+    pts[0, :n] = rf.points
+    vox[0, :n] = rf.voxels
+    valid[0, :n] = True
+    obj[0, :n] = rf.obj_id
+    visited = np.zeros((1, P), np.uint8)
+    visited[0, n:] = 1
+    seed_idx = np.array([int(np.argsort(rf.curvatures, kind="stable")[0])],
+                        np.int32)
+    packed, stats = grow_batch_rooms(
+        mcfg, gcfg, 1, params, jnp.asarray(pts), jnp.asarray(vox),
+        jnp.asarray(valid), jnp.asarray(obj), jnp.asarray(visited),
+        jnp.asarray(seed_idx), jax.random.PRNGKey(0), jnp.int32(0))
+    packed = np.asarray(packed)
+    assert packed.shape == (1, P // 8)
+    cur = np.unpackbits(packed, axis=1, bitorder="little")[0]
+    assert cur[:n].sum() >= 1          # the region grew from its seed
+    assert cur[n:].sum() == 0          # padding never enters a mask
+    assert np.isfinite(stats).all()
