@@ -16,10 +16,15 @@ baseline falls back to a documented 2,000 pts/s estimate of the RTX-3070 TF2
 pipeline and the JSON is flagged ``"baseline_estimated": true``.
 
 Modes:
-    (default)              headline: fast path (pallas sampling, K parallel
-                           seeds + adaptive tail)
-    --exact                exact reference semantics (K=1 sequential seeds,
-                           exact sampling + full-cloud median)
+    (default)              headline: the fused whole-room Pallas kernel —
+                           EXACT reference semantics (sequential seeds,
+                           exact sampling, exact median), zero host
+                           round-trips; falls back to the wave engine off-TPU
+    --wave                 the batched-lane XLA engine with the relaxed
+                           speedups (pallas sampling, K parallel seeds +
+                           adaptive tail) — round-1's headline path
+    --exact                exact semantics via the fused kernel (same as
+                           default on TPU; XLA K=1 exact path elsewhere)
     --reference-protocol   measure the baseline itself (slow, host-loop)
 """
 
@@ -110,11 +115,13 @@ def main():
     from learn_region_grow_tpu.engine.grow import GrowConfig, segment_rooms
     from learn_region_grow_tpu.models import lrgnet
 
-    mode = "fast"
+    mode = "fused"
     if "--reference-protocol" in sys.argv:
         mode = "reference"
     elif "--exact" in sys.argv:
         mode = "exact"
+    elif "--wave" in sys.argv:
+        mode = "wave"
 
     log("devices:", jax.devices())
     params, feats, raw_points, t_feature = get_params_and_rooms()
@@ -152,11 +159,12 @@ def main():
 
     baseline_pps, estimated = load_baseline()
 
-    if mode == "exact":
-        # exact reference semantics: K=1 sequential seeds, exact
-        # without-replacement sampling, exact full-cloud median — via the
-        # fused whole-room Pallas kernel on TPU (zero host round-trips),
-        # the XLA lane engine elsewhere
+    if mode in ("fused", "exact"):
+        # EXACT reference semantics (sequential seeds, exact
+        # without-replacement sampling, exact full-cloud median) via the
+        # fused whole-room Pallas kernel on TPU — the entire seed loop runs
+        # on-chip with zero host round-trips (ops/fused_grow.py). Off-TPU
+        # the XLA K=1 exact lane engine runs instead.
         from learn_region_grow_tpu.engine.grow import segment_rooms_fused
         gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,
                           pallas_sampling=False, track_accuracy=False)
@@ -177,22 +185,26 @@ def main():
         log(f"grow {t_grow:.2f}s (fused={use_fused})")
         log("mean NMI %.3f" % mean_nmi(feats, results))
         pps = raw_points / (t_feature + t_grow)
+        metric = ("region_growing_inference_points_per_sec"
+                  if mode == "fused"
+                  else "region_growing_exact_semantics_points_per_sec")
         print(json.dumps({
-            "metric": "region_growing_exact_semantics_points_per_sec",
+            "metric": metric,
             "value": round(pps, 1),
             "unit": "points/sec",
             "vs_baseline": round(pps / baseline_pps, 2),
             "baseline_points_per_sec": baseline_pps,
             "baseline_estimated": estimated,
+            "exact_semantics": True,
         }))
         return
-    else:
-        # headline: stratified Pallas sampling + 4 parallel seeds +
-        # adaptive fragment tail (quality-validated on the synthetic record)
-        gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=200,
-                          pallas_sampling=True, track_accuracy=False)
-        kw = dict(min_bucket_size=16384, num_parallel_seeds=4, tail_seeds=16)
-        metric = "region_growing_inference_points_per_sec"
+
+    # --wave: batched lanes + stratified Pallas sampling + 4 parallel seeds
+    # + adaptive fragment tail (round-1 headline; relaxed semantics,
+    # quality-validated on the synthetic record)
+    gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=200,
+                      pallas_sampling=True, track_accuracy=False)
+    kw = dict(min_bucket_size=16384, num_parallel_seeds=4, tail_seeds=16)
 
     segment_rooms(params, mcfg, feats, gcfg, **kw)  # warmup/compile
     t0 = time.time()
@@ -203,12 +215,13 @@ def main():
 
     pps = raw_points / (t_feature + t_grow)
     print(json.dumps({
-        "metric": metric,
+        "metric": "region_growing_wave_points_per_sec",
         "value": round(pps, 1),
         "unit": "points/sec",
         "vs_baseline": round(pps / baseline_pps, 2),
         "baseline_points_per_sec": baseline_pps,
         "baseline_estimated": estimated,
+        "exact_semantics": False,
     }))
 
 
