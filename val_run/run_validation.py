@@ -19,15 +19,19 @@ os.makedirs(RESULTS, exist_ok=True)
 
 from learn_region_grow_tpu.engine.grow import enable_compilation_cache
 enable_compilation_cache()
-from learn_region_grow_tpu.data.synthetic import generate_rooms
+from learn_region_grow_tpu.data.synthetic import generate_furnished_rooms
 from learn_region_grow_tpu.utils.io import save_h5_rooms
 
 STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
 t0 = time.time()
 
 if STAGE in ("all", "data"):
-    # 1. areas: 1,2 train (4 rooms each), 5 test (4 rooms)
-    rooms = generate_rooms(12, seed=7, scale=0.6)
+    # 1. areas: 1,2 train (4 rooms each), 5 test (4 rooms).
+    # Round 2: multi-class FURNISHED rooms (16-24 instances, 6 classes) so
+    # the record can discriminate — the round-1 box fixture saturated the
+    # flagship and degenerated the color/semantic baselines (VERDICT #5).
+    rooms = generate_furnished_rooms(12, seed=7, scale=0.5,
+                                     min_items=10, max_items=18)
     for area, sl in [("1", slice(0,4)), ("2", slice(4,8)), ("5", slice(8,12))]:
         save_h5_rooms(os.path.join(DATA, f"s3dis_area{area}.h5"), rooms[sl])
     print("generated areas in %.1fs" % (time.time()-t0), flush=True)
