@@ -792,6 +792,7 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         max_instances: int = 512,
                         exact_median: bool = True,
                         interpret: bool = False,
+                        mesh=None,
                         verbose: bool = False) -> List[RoomResult]:
     """Segment rooms with the fused whole-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
@@ -802,6 +803,11 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
     draws use the kernel's own counter-based PRNG stream, so per-seed
     trajectories differ from ``segment_rooms`` while the sampled
     distributions are identical.
+
+    ``mesh`` (pure-DP): rooms shard over the dp axis; each device runs the
+    whole-room kernel on its local rooms, weights replicated, no
+    collectives (the room count pads to a multiple of the device count
+    with inert single-point rooms).
 
     Constraints (falls back is the caller's job): standard architecture
     (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 16,
@@ -815,6 +821,12 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         raise ValueError("fused kernel requires num_inlier == num_neighbor")
     if cfg.feature_size > 16:
         raise ValueError("fused kernel supports feature_size <= 16")
+    dp = 1
+    if mesh is not None:
+        from ..parallel.mesh import TP_AXIS
+        if mesh.shape.get(TP_AXIS, 1) != 1:
+            raise ValueError("fused inference mesh must have tp=1 (pure DP)")
+        dp = mesh.devices.size
 
     buckets: Dict[int, List[int]] = {}
     for i, rf in enumerate(rooms):
@@ -832,24 +844,38 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
     for psize, room_ids in sorted(buckets.items()):
         t_setup = time.time()
         g = len(room_ids)
-        feat = np.zeros((g, 16, psize), np.float32)
-        vox = np.zeros((g, 24, psize // 8), np.int32)
-        rank = np.zeros((g, 8, psize // 8), np.int32)
-        obj = np.zeros((g, 8, psize // 8), np.int32)
-        seeds = np.zeros((g, 1), np.int32)
+        gp = -(-g // dp) * dp       # padded room count (inert tail rooms)
+        feat = np.zeros((gp, 16, psize), np.float32)
+        vox = np.zeros((gp, 24, psize // 8), np.int32)
+        rank = np.full((gp, 8, psize // 8), 2 ** 30, np.int32)
+        obj = np.zeros((gp, 8, psize // 8), np.int32)
+        seeds = np.zeros((gp, 1), np.int32)
         for gi, ri in enumerate(room_ids):
             feat[gi], vox[gi], rank[gi], obj[gi] = _fg.pack_room(
                 rooms[ri], psize, cfg.feature_size)
             seeds[gi, 0] = cfg.seed * 1000003 + ri
+        # inert pad rooms still need one valid point or the outer loop's
+        # first seed pick reduces over an empty candidate set
+        for gi in range(g, gp):
+            rank[gi, 0, 0] = 0
+        kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
+                  max_steps=cfg.max_steps,
+                  cluster_threshold=cfg.cluster_threshold,
+                  max_instances=max_instances, exact_median=exact_median,
+                  interpret=interpret)
         t0 = time.time()
-        labels_d, log_d, counters_d = _fg.fused_grow_rooms(
-            jnp.asarray(seeds), jnp.asarray(feat), jnp.asarray(vox),
-            jnp.asarray(rank), jnp.asarray(obj), weights,
-            k=cfg.num_inlier, feature_size=cfg.feature_size,
-            max_steps=cfg.max_steps,
-            cluster_threshold=cfg.cluster_threshold,
-            max_instances=max_instances, exact_median=exact_median,
-            interpret=interpret)
+        if mesh is None:
+            labels_d, log_d, counters_d = _fg.fused_grow_rooms(
+                jnp.asarray(seeds), jnp.asarray(feat), jnp.asarray(vox),
+                jnp.asarray(rank), jnp.asarray(obj), weights, **kw)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            from ..parallel.mesh import DP_AXIS
+            sh = NamedSharding(mesh, PS(DP_AXIS))
+            labels_d, log_d, counters_d = _fg.fused_grow_rooms_sharded(
+                mesh, jax.device_put(seeds, sh), jax.device_put(feat, sh),
+                jax.device_put(vox, sh), jax.device_put(rank, sh),
+                jax.device_put(obj, sh), weights, **kw)
         labels = np.asarray(jax.device_get(labels_d))
         logs = np.asarray(jax.device_get(log_d))
         counters = np.asarray(jax.device_get(counters_d))

@@ -679,6 +679,47 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=16)
+def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
+                      cluster_threshold: int, max_instances: int,
+                      exact_median: bool, n_weights: int,
+                      interpret: bool = False):
+    """dp-sharded fused segmentation over the room axis: each device runs
+    the whole-room kernel on its local rooms (no collectives; weights
+    replicated). Callers pad the room count to a multiple of the dp size."""
+    from jax.sharding import PartitionSpec as PS
+
+    from ..parallel.mesh import DP_AXIS
+
+    def local(seeds, feat, vox, rank, obj, *weights):
+        return fused_grow_rooms(
+            seeds, feat, vox, rank, obj, list(weights), k=k,
+            feature_size=feature_size, max_steps=max_steps,
+            cluster_threshold=cluster_threshold,
+            max_instances=max_instances, exact_median=exact_median,
+            interpret=interpret)
+
+    shard = PS(DP_AXIS)
+    rep = PS()
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(shard, shard, shard, shard, shard) + (rep,) * n_weights,
+        out_specs=(shard, shard, shard),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, weights,
+                             **kw):
+    """Room-sharded ``fused_grow_rooms`` over a pure-DP mesh."""
+    fn = _sharded_fused_fn(mesh, kw["k"], kw["feature_size"],
+                           kw["max_steps"], kw["cluster_threshold"],
+                           kw.get("max_instances", 512),
+                           kw.get("exact_median", True), len(weights),
+                           kw.get("interpret", False))
+    return fn(seeds, feat, vox, rank, obj, *weights)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
     "exact_median", "interpret"))

@@ -84,3 +84,26 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m0b["loss"]), float(m1b["loss"]),
                                rtol=1e-4)
+
+
+def test_fused_kernel_dp_sharded_matches_single(tiny_rooms, trained):
+    """The fused whole-room kernel dp-shards over the room axis (interpret
+    mode on the virtual CPU mesh) and produces bit-identical labels vs the
+    unsharded call — per-room PRNG streams depend only on the room seed."""
+    from learn_region_grow_tpu.core import prepare_room
+    from learn_region_grow_tpu.engine.grow import (GrowConfig,
+                                                   segment_rooms_fused)
+    from learn_region_grow_tpu.parallel.mesh import make_mesh
+
+    params, mcfg = trained
+    feats = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
+             for r in tiny_rooms]
+    gcfg = GrowConfig(num_inlier=64, num_neighbor=64, max_steps=6)
+    mesh = make_mesh(num_devices=8, tp=1)
+    res_m = segment_rooms_fused(params, mcfg, feats, gcfg,
+                                max_instances=32, interpret=True, mesh=mesh)
+    res_1 = segment_rooms_fused(params, mcfg, feats, gcfg,
+                                max_instances=32, interpret=True)
+    for a, b in zip(res_m, res_1):
+        np.testing.assert_array_equal(a.cluster_label, b.cluster_label)
+        assert a.num_clusters == b.num_clusters
