@@ -82,9 +82,15 @@ def run_area(area: str, args) -> list:
                       cluster_threshold=args.cluster_threshold,
                       seed=args.seed, pallas_sampling=args.fast)
     t_grow = time.time()
-    results = segment_rooms(params, mcfg, feats, gcfg, verbose=args.verbose,
-                            num_parallel_seeds=args.parallel_seeds,
-                            tail_seeds=args.tail_seeds)
+    if args.fused:
+        from ..engine.grow import segment_rooms_fused
+        results = segment_rooms_fused(params, mcfg, feats, gcfg,
+                                      verbose=args.verbose)
+    else:
+        results = segment_rooms(params, mcfg, feats, gcfg,
+                                verbose=args.verbose,
+                                num_parallel_seeds=args.parallel_seeds,
+                                tail_seeds=args.tail_seeds)
     t_grow = time.time() - t_grow
 
     t_post = time.time()
@@ -140,6 +146,10 @@ def main(argv=None):
     ap.add_argument("--fast", action="store_true",
                     help="Pallas stratified sampling + sampled-subset median "
                          "(validated ~equal NMI; TPU only)")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused whole-room Pallas kernel: exact reference "
+                         "semantics, zero host round-trips (TPU; rooms "
+                         "<= 32768 padded points)")
     ap.add_argument("--tail-seeds", type=int, default=0,
                     help="adaptive fragment-tail seed count (collapses the "
                          "small-region tail; validated ~equal NMI)")
