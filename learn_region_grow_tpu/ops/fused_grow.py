@@ -353,6 +353,9 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
     p = 8 * p8
     n_chunks = p8 // chunk
     room_seed = seed_ref[pl.program_id(0), 0]
+    # decorrelate adjacent room seeds with a wrapping golden-ratio
+    # multiply (linear spacing would overlap counter streams)
+    stream = room_seed * _CG
 
     rank = rank_ref[0]
     vox_x = vox_ref[0, 0:8, :]
@@ -429,12 +432,12 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
     def sample_and_gather(mask, cnt, ctr):
         """Exact masked resampling: writes sel/ranks to scratch, gathers the
         k sampled feature columns + their global indices."""
-        keys = hash_keys(glob_idx, room_seed * 131 + ctr)
+        keys = hash_keys(glob_idx, stream + ctr)
         sel = select_mask(keys, mask, cnt, k)
         ranks, _ = prefix_ranks(sel)
         sel_s[...] = sel.astype(jnp.int32)
         ranks_s[...] = ranks
-        fill_u = uniform01(hash_keys(kcol, room_seed * 131 + ctr + 1))
+        fill_u = uniform01(hash_keys(kcol, stream + ctr + 1))
         targets = sample_targets(cnt, k, fill_u)
         return gather_pass(targets)
 
@@ -538,8 +541,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         # decisions in column orientation (same hash values as a row draw;
         # conf reshaped (1,k)->(k,1) — the lane/sublane relayout Mosaic
         # accepts, cf. ops/masked_select t_col)
-        u_add = uniform01(hash_keys(kcol, room_seed * 131 + ctr + 4))
-        u_rmv = uniform01(hash_keys(kcol, room_seed * 131 + ctr + 5))
+        u_add = uniform01(hash_keys(kcol, stream + ctr + 4))
+        u_rmv = uniform01(hash_keys(kcol, stream + ctr + 5))
         add_dec = (u_add < add_conf.reshape(k, 1)).astype(jnp.int32)
         rmv_dec = (u_rmv < rmv_conf.reshape(k, 1)).astype(jnp.int32)
 
