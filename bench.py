@@ -106,6 +106,23 @@ def mean_nmi(feats, results):
     return float(np.mean(nmis))
 
 
+def log_mfu(results, t_grow, k=512, p=16384, peak_tflops=98.0):
+    """Estimated model-FLOP utilisation of the grow phase. The loop is
+    LATENCY-bound by design (sequential region growth), so MFU is small —
+    reported for the record (round-1 review: 'MFU is never measured')."""
+    steps = sum(i["steps"] for r in results for i in r.instances)
+    # per-iteration: 2 one-hot gather matmuls (2*16*P*k each) + the
+    # dual-branch forward + split heads (~271 MFLOP at k=512)
+    gather = 2 * 2 * 16 * p * k
+    forward = 2 * k * (82752 + 49408) * 2 + 2 * 2 * 1024 * 256
+    fl = steps * (gather + forward)
+    tflops = fl / max(t_grow, 1e-9) / 1e12
+    log("grow iterations %d, est %.2f GFLOP/iter, %.2f TFLOP/s "
+        "(~%.1f%% MFU f32; latency-bound by sequential growth)" % (
+            steps, (gather + forward) / 1e9, tflops,
+            100.0 * tflops / peak_tflops))
+
+
 def main():
     import jax
 
@@ -184,6 +201,8 @@ def main():
         t_grow = time.time() - t0
         log(f"grow {t_grow:.2f}s (fused={use_fused})")
         log("mean NMI %.3f" % mean_nmi(feats, results))
+        if use_fused:
+            log_mfu(results, t_grow)
         pps = raw_points / (t_feature + t_grow)
         metric = ("region_growing_inference_points_per_sec"
                   if mode == "fused"
