@@ -149,7 +149,7 @@ def main(argv=None):
     ap.add_argument("--fused", action="store_true",
                     help="fused whole-room Pallas kernel: exact reference "
                          "semantics, zero host round-trips (TPU; rooms "
-                         "<= 32768 padded points)")
+                         "<= 131072 padded points)")
     ap.add_argument("--tail-seeds", type=int, default=0,
                     help="adaptive fragment-tail seed count (collapses the "
                          "small-region tail; validated ~equal NMI)")

@@ -811,7 +811,9 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
 
     Constraints (falls back is the caller's job): standard architecture
     (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 16,
-    rooms <= 32768 padded points (VMEM budget).
+    rooms <= ``fused_grow.MAX_FUSED_POINTS`` (131072) padded points (VMEM
+    budget; per-step temporaries are column-chunked so only the room block
+    itself scales with P).
     """
     from ..ops import fused_grow as _fg
 
@@ -831,10 +833,11 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
     buckets: Dict[int, List[int]] = {}
     for i, rf in enumerate(rooms):
         psize = _bucket_size(len(rf.points), min_bucket_size)
-        if psize > 32768:
+        if psize > _fg.MAX_FUSED_POINTS:
             raise ValueError(
                 f"room {i}: {len(rf.points)} points exceeds the fused "
-                f"kernel's 32768-point VMEM budget; use segment_rooms")
+                f"kernel's {_fg.MAX_FUSED_POINTS}-point VMEM budget; "
+                f"use segment_rooms")
         buckets.setdefault(psize, []).append(i)
 
     weights = [jnp.asarray(a) for a in
@@ -845,19 +848,27 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         t_setup = time.time()
         g = len(room_ids)
         gp = -(-g // dp) * dp       # padded room count (inert tail rooms)
+        n_chunks = (psize // 8) // min(128, psize // 8)
         feat = np.zeros((gp, 16, psize), np.float32)
-        vox = np.zeros((gp, 24, psize // 8), np.int32)
+        vox = np.full((gp, 24, psize // 8), _fg.PAD_VOX, np.int32)
         rank = np.full((gp, 8, psize // 8), 2 ** 30, np.int32)
         obj = np.zeros((gp, 8, psize // 8), np.int32)
+        tbl = np.zeros((gp, 8, n_chunks), np.int32)
         seeds = np.zeros((gp, 1), np.int32)
+        restores = {}
         for gi, ri in enumerate(room_ids):
-            feat[gi], vox[gi], rank[gi], obj[gi] = _fg.pack_room(
-                rooms[ri], psize, cfg.feature_size)
+            (feat[gi], vox[gi], rank[gi], obj[gi],
+             restores[gi]) = _fg.pack_room(rooms[ri], psize,
+                                           cfg.feature_size)
             seeds[gi, 0] = cfg.seed * 1000003 + ri
         # inert pad rooms still need one valid point or the outer loop's
         # first seed pick reduces over an empty candidate set
         for gi in range(g, gp):
             rank[gi, 0, 0] = 0
+            vox[gi, :, 0] = 0
+        for gi in range(gp):
+            tbl[gi] = _fg.chunk_bounds(vox[gi], rank[gi],
+                                       min(128, psize // 8))
         kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
                   max_steps=cfg.max_steps,
                   cluster_threshold=cfg.cluster_threshold,
@@ -867,7 +878,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         if mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
                 jnp.asarray(seeds), jnp.asarray(feat), jnp.asarray(vox),
-                jnp.asarray(rank), jnp.asarray(obj), weights, **kw)
+                jnp.asarray(rank), jnp.asarray(obj), jnp.asarray(tbl),
+                weights, **kw)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as PS
             from ..parallel.mesh import DP_AXIS
@@ -875,7 +887,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
             labels_d, log_d, counters_d = _fg.fused_grow_rooms_sharded(
                 mesh, jax.device_put(seeds, sh), jax.device_put(feat, sh),
                 jax.device_put(vox, sh), jax.device_put(rank, sh),
-                jax.device_put(obj, sh), weights, **kw)
+                jax.device_put(obj, sh), jax.device_put(tbl, sh),
+                weights, **kw)
         labels = np.asarray(jax.device_get(labels_d))
         logs = np.asarray(jax.device_get(log_d))
         counters = np.asarray(jax.device_get(counters_d))
@@ -883,10 +896,12 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
 
         for gi, ri in enumerate(room_ids):
             n = len(rooms[ri].points)
-            lbl = labels[gi].reshape(-1)[:n].astype(int)
+            # labels come back in the sorted-interleaved layout; restore
+            # maps original point index -> flat slot
+            lbl = labels[gi].reshape(-1)[restores[gi]].astype(int)
             n_inst = int(counters[gi, 0, 1])
             inst_logs = []
-            for row in logs[gi, :n_inst]:
+            for row in logs[gi, :min(n_inst, max_instances)]:
                 rec = {
                     "target": int(row[1]), "steps": int(row[2]),
                     "points": int(row[3]), "gt_points": int(row[4]),

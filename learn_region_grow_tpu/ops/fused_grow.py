@@ -37,8 +37,11 @@ Design notes:
   reference (uniform subsets, Bernoulli thresholds) through a different
   stream — per-seed trajectories differ, quality metrics must match.
 
-The kernel supports the standard architecture (lite=None) and P <= 32768
-(VMEM budget); callers fall back to the XLA engine otherwise.
+The kernel supports the standard architecture (lite=None) and
+P <= MAX_FUSED_POINTS = 131072 (VMEM budget: the room block plus scratch is
+~22 MB at that size; every per-step temporary is a column-chunked slab, so
+temporaries stay P-independent); callers fall back to the XLA engine above
+the cap.
 """
 
 from __future__ import annotations
@@ -57,6 +60,8 @@ BIG = np.int32(2 ** 30)
 _C1 = np.int32(np.uint32(0x85EBCA6B).astype(np.int64) - 2 ** 32)
 _C2 = np.int32(np.uint32(0xC2B2AE35).astype(np.int64) - 2 ** 32)
 _CG = np.int32(np.uint32(0x9E3779B1).astype(np.int64) - 2 ** 32)
+
+MAX_FUSED_POINTS = 131072
 
 REASON_NONEIGHBOR = 1
 REASON_NOEXPAND = 2
@@ -305,25 +310,67 @@ def pack_lrgnet_weights(params, feature_size: int) -> List[np.ndarray]:
     return out
 
 
+PAD_VOX = 2 ** 20      # padding-slot voxel sentinel (outside any real bbox)
+
+
 def pack_room(rf, p: int, feature_size: int):
     """RoomFeatures -> (feat (16,P) f32, vox (24,P8) i32, rank (8,P8) i32,
-    obj (8,P8) i32). rank = position in the stable ascending-curvature
-    order (the reference's seed order); padding gets rank BIG."""
+    obj (8,P8) i32, restore (n,) int64).
+
+    Points are sorted by voxel (x, y, z) and laid out MOD-8 INTERLEAVED:
+    sorted position s occupies flat slot g = (s % 8) * P8 + s // 8, so a
+    column chunk [lo, hi) of the (8, P8) layout holds the CONTIGUOUS
+    x-sorted span [8*lo, 8*hi) — per-chunk voxel bounds (``chunk_bounds``)
+    are tight in x and the kernel can skip chunks outside a region's bbox.
+    ``restore`` maps original point index -> flat slot (host un-permutes
+    labels). rank = position in the stable ascending-curvature order (the
+    reference's seed order); padding slots get rank BIG and PAD_VOX voxels.
+    """
     n = len(rf.points)
     p8 = p // 8
+    vox_in = rf.voxels.astype(np.int64)
+    order = np.lexsort((vox_in[:, 2], vox_in[:, 1], vox_in[:, 0]))
+    s = np.arange(n)
+    slot = (s % 8) * p8 + s // 8          # flat slot of sorted position s
     feat = np.zeros((16, p), np.float32)
-    feat[:feature_size, :n] = rf.points[:, :feature_size].T
-    vox = np.zeros((3, p), np.int32)
-    vox[:, :n] = rf.voxels.T
+    feat[:feature_size, slot] = rf.points[order, :feature_size].T
+    vox = np.full((3, p), PAD_VOX, np.int32)
+    vox[:, slot] = rf.voxels[order].T
     vox24 = vox.reshape(3, 8, p8).reshape(24, p8)
-    order = np.argsort(rf.curvatures, kind="stable")
+    curv_order = np.argsort(rf.curvatures, kind="stable")
+    rank_of_orig = np.empty(n, np.int64)
+    rank_of_orig[curv_order] = np.arange(n)
     rank_flat = np.full(p, 2 ** 30, np.int64)
-    rank_flat[order] = np.arange(n)
+    rank_flat[slot] = rank_of_orig[order]
     rank = rank_flat.reshape(8, p8).astype(np.int32)
     obj_flat = np.full(p, -1, np.int64)
-    obj_flat[:n] = rf.obj_id
+    obj_flat[slot] = rf.obj_id[order]
     obj = obj_flat.reshape(8, p8).astype(np.int32)
-    return feat, vox24, rank, obj
+    pos_of_orig = np.empty(n, np.int64)
+    pos_of_orig[order] = s
+    restore = (pos_of_orig % 8) * p8 + pos_of_orig // 8
+    return feat, vox24, rank, obj, restore
+
+
+def chunk_bounds(vox24: np.ndarray, rank: np.ndarray,
+                 chunk: int) -> np.ndarray:
+    """Per-column-chunk voxel bounds table (8, n_chunks) i32.
+
+    Rows 0-5 = min_x, max_x, min_y, max_y, min_z, max_z over the VALID
+    points of each chunk (6-7 zero). A chunk with no valid points gets
+    min BIG / max -BIG so it never intersects any bbox.
+    """
+    p8 = rank.shape[1]
+    n_chunks = p8 // chunk
+    valid = rank < BIG                                   # (8, p8)
+    tbl = np.zeros((8, n_chunks), np.int32)
+    for axis in range(3):
+        v = vox24[axis * 8:(axis + 1) * 8]               # (8, p8)
+        vr = v.reshape(8, n_chunks, chunk)
+        mr = valid.reshape(8, n_chunks, chunk)
+        tbl[2 * axis] = np.where(mr, vr, BIG).min(axis=(0, 2))
+        tbl[2 * axis + 1] = np.where(mr, vr, -BIG).max(axis=(0, 2))
+    return tbl
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +386,7 @@ def _unpack_weight_refs(refs):
     return (in_w, nb_w, add_h, rmv_h, biases)
 
 
-def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
+def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                  *refs, k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
@@ -352,7 +399,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
     p8 = rank_ref.shape[2]
     p = 8 * p8
     n_chunks = p8 // chunk
-    room_seed = seed_ref[pl.program_id(0), 0]
+    room_i = pl.program_id(0)
+    room_seed = seed_ref[room_i, 0]
     # decorrelate adjacent room seeds with a wrapping golden-ratio
     # multiply (linear spacing would overlap counter streams)
     stream = room_seed * _CG
@@ -389,10 +437,25 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         pc = jax.lax.broadcasted_iota(jnp.int32, (n_rec, n_rec * 8), 1)
         pool = ((pc // 8) == pr).astype(jnp.float32)
 
-    def gather_pass(targets):
+    def chunk_intersects(cc, b):
+        """Does column chunk cc's voxel-bounds box intersect bbox ``b``?
+
+        ``b`` = (lx, hx, ly, hy, lz, hz) scalars. The per-chunk table is
+        precomputed on host (``chunk_bounds``) over the x-sorted
+        interleaved layout, so x bounds are tight."""
+        lx, hx, ly, hy, lz, hz = b
+        return ((tbl_ref[room_i, 1, cc] >= lx) & (tbl_ref[room_i, 0, cc] <= hx)
+                & (tbl_ref[room_i, 3, cc] >= ly)
+                & (tbl_ref[room_i, 2, cc] <= hy)
+                & (tbl_ref[room_i, 5, cc] >= lz)
+                & (tbl_ref[room_i, 4, cc] <= hz))
+
+    def gather_pass(targets, b):
         """Rank-match gather over the room in column slabs (fori_loop, so
         Mosaic reuses ONE slab's temporaries — unrolled chunk loops blow
-        the scoped-vmem stack at P=16384).
+        the scoped-vmem stack at P=16384). Chunks whose voxel bounds miss
+        the sampled set's bbox ``b`` are skipped entirely (the selection
+        mask is zero there, so they contribute nothing).
 
         Reads sel/ranks from scratch via dynamic pl.ds slices (the proven
         ops/masked_select pattern). Returns (gathered (16, k) f32,
@@ -401,7 +464,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         """
         chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-        def body(cc, carry):
+        def slab(cc, carry):
             gathered, idx_col = carry
             lo = cc * chunk
             rr = ranks_s[pl.ds(0, 8), pl.ds(lo, chunk)]      # (8, chunk)
@@ -425,13 +488,18 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
                                         axis=1, keepdims=True)
             return gathered, idx_col
 
+        def body(cc, carry):
+            return jax.lax.cond(chunk_intersects(cc, b),
+                                lambda c: slab(cc, c), lambda c: c, carry)
+
         return jax.lax.fori_loop(
             0, n_chunks, body,
             (jnp.zeros((16, k), jnp.float32), jnp.zeros((k, 1), jnp.int32)))
 
-    def sample_and_gather(mask, cnt, ctr):
+    def sample_and_gather(mask, cnt, ctr, b):
         """Exact masked resampling: writes sel/ranks to scratch, gathers the
-        k sampled feature columns + their global indices."""
+        k sampled feature columns + their global indices. ``b`` bounds the
+        mask (chunks outside are skipped in the gather)."""
         keys = hash_keys(glob_idx, stream + ctr)
         sel = select_mask(keys, mask, cnt, k)
         ranks, _ = prefix_ranks(sel)
@@ -439,32 +507,50 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         ranks_s[...] = ranks
         fill_u = uniform01(hash_keys(kcol, stream + ctr + 1))
         targets = sample_targets(cnt, k, fill_u)
-        return gather_pass(targets)
+        return gather_pass(targets, b)
 
-    def scatter_pass(idx_col, dec_col):
-        """Decisions (k, 1) at sampled indices (k, 1) -> point mask
-        (8, P8) i32 + duplicate-slot-OR membership slot_sel (1, k).
+    def scatter_pass(idx_col, dec_col, out_ref, b):
+        """Decisions (k, 1) at sampled indices (k, 1) -> point mask written
+        into ``out_ref`` ((8, P8) i32 scratch) + duplicate-slot-OR
+        membership slot_sel (1, k).
 
-        Pure compares against index iotas — no dynamic writes, one row's
-        temporaries live at a time (fori)."""
+        Column-chunked like ``gather_pass``: a full (k, P8) hit matrix is
+        32 MB of VMEM at P=131072, but per (row, chunk) slab it is a
+        reusable (k, chunk) temporary. Chunks outside bbox ``b`` (which
+        bounds every sampled index) just zero-fill. ``out_ref`` reuses the
+        sampling scratch (sel/ranks), dead once both gathers are done."""
         rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        colp = jax.lax.broadcasted_iota(jnp.int32, (1, p8), 1)
+        chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         deci = dec_col > 0
 
-        def row_body(r, acc):
-            glob_row = r * p8 + colp                         # (1, P8) i32
-            hit = (idx_col == glob_row) & deci               # (k, P8)
-            row_hit = jnp.max(hit.astype(jnp.int32), axis=0,
-                              keepdims=True)                 # (1, P8)
-            return jnp.where(rows8 == r, row_hit, acc)
+        def body(cc, _):
+            lo = cc * chunk
+            inter = chunk_intersects(cc, b)
 
-        point_mask = jax.lax.fori_loop(
-            0, 8, row_body, jnp.zeros((8, p8), jnp.int32))
+            @pl.when(inter)
+            def _():
+                res = jnp.zeros((8, chunk), jnp.int32)
+                for r in range(8):
+                    glob_row = r * p8 + lo + chunk_iota      # (1, chunk)
+                    hit = (idx_col == glob_row) & deci       # (k, chunk)
+                    row_hit = jnp.max(hit.astype(jnp.int32), axis=0,
+                                      keepdims=True)         # (1, chunk)
+                    res = jnp.where(rows8 == r, row_hit, res)
+                out_ref[pl.ds(0, 8), pl.ds(lo, chunk)] = res
+
+            @pl.when(~inter)
+            def _():
+                out_ref[pl.ds(0, 8), pl.ds(lo, chunk)] = jnp.zeros(
+                    (8, chunk), jnp.int32)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
         idx_row = idx_col.reshape(1, k)
         dup_hit = (idx_col == idx_row) & deci                # (k, k)
         slot_sel = jnp.max(dup_hit.astype(jnp.int32), axis=0,
                            keepdims=True)                    # (1, k)
-        return point_mask, slot_sel
+        return slot_sel
 
     def median_offset():
         """(16, 1) recenter offset from the exact masked median of the
@@ -526,8 +612,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         nb_cnt = jnp.sum(jnp.where(nb_mask, 1, 0))
         no_neighbor = nb_cnt == 0
 
-        g_in, idx_in = sample_and_gather(cur, cur_cnt, ctr)
-        g_nb, idx_nb = sample_and_gather(nb_mask, nb_cnt, ctr + 2)
+        b_in = (min_x, max_x, min_y, max_y, min_z, max_z)
+        b_nb = (min_x - 1, max_x + 1, min_y - 1, max_y + 1,
+                min_z - 1, max_z + 1)
+        g_in, idx_in = sample_and_gather(cur, cur_cnt, ctr, b_in)
+        g_nb, idx_nb = sample_and_gather(nb_mask, nb_cnt, ctr + 2, b_nb)
 
         if exact_median:
             off = median_offset()
@@ -546,8 +635,10 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
         add_dec = (u_add < add_conf.reshape(k, 1)).astype(jnp.int32)
         rmv_dec = (u_rmv < rmv_conf.reshape(k, 1)).astype(jnp.int32)
 
-        add_pt_i, add_slot_sel = scatter_pass(idx_nb, add_dec)
-        rmv_pt_i, rmv_slot_sel = scatter_pass(idx_in, rmv_dec)
+        # sel_s/ranks_s are dead after the second gather — reuse as the
+        # scatter targets (chunked; no whole-room hit matrix in VMEM)
+        add_slot_sel = scatter_pass(idx_nb, add_dec, sel_s, b_nb)
+        rmv_slot_sel = scatter_pass(idx_in, rmv_dec, ranks_s, b_in)
 
         eps = jnp.float32(1e-10)
         a_sel = add_slot_sel > 0
@@ -558,8 +649,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
                                                1.0 - rmv_conf) + eps))
                    ) / jnp.float32(k)
 
-        add_pt = add_pt_i > 0
-        rmv_pt = rmv_pt_i > 0
+        add_pt = sel_s[...] > 0
+        rmv_pt = ranks_s[...] > 0
         new_cur = (cur | add_pt) & ~rmv_pt
         updated = jnp.sum(jnp.where(add_pt, 1, 0)) > 0
         new_cnt = jnp.sum(jnp.where(new_cur, 1, 0))
@@ -664,7 +755,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref,
 
     def outer_cond(carry):
         inst, _cid, _ctr, remaining = carry
-        return (remaining > 0) & (inst < max_instances)
+        # seed until every point is visited-or-tried (the reference seeds
+        # EVERY unvisited point, test_region_grow.py:186-188); the instance
+        # LOG just stops recording past max_instances rows. Each iteration
+        # marks >= 1 new point tried, so inst < p is a pure safety net.
+        return (remaining > 0) & (inst < p)
 
     n_valid0 = jnp.sum(jnp.where(valid, 1, 0))
     inst, cluster_id, _ctr, _ = jax.lax.while_loop(
@@ -694,9 +789,9 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
 
     from ..parallel.mesh import DP_AXIS
 
-    def local(seeds, feat, vox, rank, obj, *weights):
+    def local(seeds, feat, vox, rank, obj, tbl, *weights):
         return fused_grow_rooms(
-            seeds, feat, vox, rank, obj, list(weights), k=k,
+            seeds, feat, vox, rank, obj, tbl, list(weights), k=k,
             feature_size=feature_size, max_steps=max_steps,
             cluster_threshold=cluster_threshold,
             max_instances=max_instances, exact_median=exact_median,
@@ -706,35 +801,36 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
     rep = PS()
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(shard, shard, shard, shard, shard) + (rep,) * n_weights,
+        in_specs=(shard,) * 6 + (rep,) * n_weights,
         out_specs=(shard, shard, shard),
         check_vma=False)
     return jax.jit(fn)
 
 
-def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, weights,
-                             **kw):
+def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
+                             weights, **kw):
     """Room-sharded ``fused_grow_rooms`` over a pure-DP mesh."""
     fn = _sharded_fused_fn(mesh, kw["k"], kw["feature_size"],
                            kw["max_steps"], kw["cluster_threshold"],
                            kw.get("max_instances", 512),
                            kw.get("exact_median", True), len(weights),
                            kw.get("interpret", False))
-    return fn(seeds, feat, vox, rank, obj, *weights)
+    return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
     "exact_median", "interpret"))
-def fused_grow_rooms(seeds, feat, vox, rank, obj, weights, *, k: int,
+def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
                      exact_median: bool = True, interpret: bool = False):
     """Segment G rooms (grid-sequential) fully on device.
 
     seeds (G, 1) i32 (per-room PRNG seeds); feat (G, 16, P) f32;
-    vox (G, 24, P8) i32;
-    rank/obj (G, 8, P8) i32; weights = pack_lrgnet_weights list.
+    vox (G, 24, P8) i32; rank/obj (G, 8, P8) i32;
+    tbl (G, 8, n_chunks) i32 per-chunk voxel bounds (``chunk_bounds``);
+    weights = pack_lrgnet_weights list.
     Returns (labels (G, 8, P8) i32, log (G, max_instances, 8) f32,
     counters (G, 8, 128) i32).
     """
@@ -780,6 +876,9 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, weights, *, k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, p8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            # whole (G, 8, n_chunks) chunk-bounds table in SMEM (scalar
+            # reads drive the chunk-skip conditionals)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -797,4 +896,4 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, weights, *, k: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(seeds, feat, vox, rank, obj, *weights)
+    )(seeds, feat, vox, rank, obj, tbl, *weights)

@@ -2,10 +2,18 @@
 
 Reference rooms are 50-100k+ equalized points (``test_region_grow.py``
 over full S3DIS areas; BASELINE.json config #4 is ScanNet-scale). This run
-generates synthetic rooms large enough to land in the 65,536- and
-131,072-point padded buckets, drives the batched XLA engine (the fused
-kernel's VMEM budget caps at 32,768 — larger rooms take the lane engine)
-and records the points/sec + device-memory curve to
+generates furnished synthetic rooms with dimensions CALIBRATED so the
+equalized counts land in each padded power-of-2 bucket (equalized points
+~= 100/m^2 of surface at resolution 0.1; the generator's default random
+dimensions have ~5 m sigma, far too noisy to target a bucket), then drives
+BOTH engines at every size:
+
+* ``wave``  — the batched XLA lane engine with the relaxed speedups
+  (Pallas stratified sampling, 4 parallel seeds, adaptive tail),
+* ``fused`` — the whole-room Pallas kernel, exact reference semantics
+  (chunked scatter keeps per-step VMEM P-independent; cap 131072).
+
+Records the points/sec + NMI + device-memory curve to
 ``results/scale_curve.txt``.
 
 Usage: python val_run/run_scale.py [quick]
@@ -24,11 +32,12 @@ import jax
 
 from learn_region_grow_tpu.engine.grow import (GrowConfig,
                                                enable_compilation_cache,
-                                               segment_rooms)
+                                               segment_rooms,
+                                               segment_rooms_fused)
 enable_compilation_cache()
 
 from learn_region_grow_tpu.core import prepare_room
-from learn_region_grow_tpu.data.synthetic import generate_furnished_rooms
+from learn_region_grow_tpu.data.synthetic import generate_furnished_room
 from learn_region_grow_tpu.eval.metrics import room_metrics
 from learn_region_grow_tpu.models import lrgnet
 from learn_region_grow_tpu.train.checkpoint import load_checkpoint
@@ -42,24 +51,43 @@ def device_mem_mb():
         return -1.0
 
 
+def make_room_for_bucket(target_p: int, rng) -> np.ndarray:
+    """A furnished room whose equalized count lands in (P/2, P].
+
+    Initial dims from the ~100 pts/m^2 surface model, then up to 4
+    corrective redraws scaling the footprint by the measured ratio.
+    """
+    area = target_p * 0.75 / 100.0                  # m^2 of surface
+    h = 3.0 if target_p <= 32768 else 4.0
+    # area = 2 w^2 + 4 w h  ->  w = (-4h + sqrt(16h^2 + 8*area)) / 4
+    w = (-4 * h + np.sqrt(16 * h * h + 8 * area)) / 4
+    for _ in range(5):
+        room = generate_furnished_room(w, w, h, rng)
+        rf = prepare_room(room[:, :6], room[:, 6], room[:, 7],
+                          resolution=0.1)
+        eq = len(rf.points)
+        if target_p // 2 < eq <= target_p:
+            return room
+        w *= np.sqrt(target_p * 0.75 / eq)
+    raise RuntimeError(f"could not calibrate a room for P={target_p}")
+
+
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     params, _, _ = load_checkpoint(
         os.path.join(os.path.dirname(BASE), "models",
                      "synthetic_pretrained.npz"))
     mcfg = lrgnet.LrgNetConfig(feature_size=13)
-    lines = ["# scale curve: padded bucket P, rooms, equalized pts, "
-             "raw pts, grow secs, pts/sec, NMI, device MB"]
-    # scale factors chosen so equalized counts land in each target bucket
-    configs = [(1.0, 2, 16384), (1.8, 2, 32768), (2.6, 2, 65536),
-               (3.8, 1, 131072)]
+    lines = ["# scale curve: padded bucket P, engine, rooms, equalized pts,"
+             " raw pts, grow secs, pts/sec, NMI, device MB"]
+    configs = [(16384, 2), (32768, 2), (65536, 2), (131072, 1)]
     if quick:
         configs = configs[:2]
-    seed = 100
-    for scale, n_rooms, target_p in configs:
-        rooms = generate_furnished_rooms(n_rooms, seed=seed, scale=scale,
-                                         min_items=20, max_items=30)
-        seed += 1
+    rng = np.random.RandomState(100)
+    for target_p, n_rooms in configs:
+        t0 = time.time()
+        rooms = [make_room_for_bucket(target_p, rng)
+                 for _ in range(n_rooms)]
         raw = sum(len(r) for r in rooms)
         t0 = time.time()
         feats = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
@@ -67,25 +95,36 @@ def main():
         t_feat = time.time() - t0
         eq = sum(len(f.points) for f in feats)
         pmax = max(len(f.points) for f in feats)
-        print(f"target P={target_p}: {n_rooms} rooms, eq {eq} "
-              f"(max {pmax}), raw {raw}, feature {t_feat:.1f}s", flush=True)
-        gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,
-                          pallas_sampling=True, track_accuracy=False)
-        kw = dict(min_bucket_size=target_p, num_parallel_seeds=4,
-                  tail_seeds=16)
-        segment_rooms(params, mcfg, feats, gcfg, **kw)   # compile
-        t0 = time.time()
-        res = segment_rooms(params, mcfg, feats, gcfg, **kw)
-        t_grow = time.time() - t0
-        nmis = [room_metrics(f.obj_id, r.cluster_label)[0].nmi
-                for f, r in zip(feats, res)]
-        mem = device_mem_mb()
-        pps = raw / (t_feat + t_grow)
-        line = ("P=%6d rooms=%d eq=%7d raw=%8d grow=%7.2fs pps=%8.0f "
-                "NMI=%.3f mem=%.0fMB" % (target_p, n_rooms, eq, raw,
-                                         t_grow, pps, np.mean(nmis), mem))
-        print(line, flush=True)
-        lines.append(line)
+        print(f"P={target_p}: {n_rooms} rooms, eq {eq} (max {pmax}), "
+              f"raw {raw}, feature {t_feat:.1f}s", flush=True)
+
+        runs = {}
+        gcfg_w = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,
+                            pallas_sampling=True, track_accuracy=False)
+        runs["wave"] = lambda: segment_rooms(
+            params, mcfg, feats, gcfg_w, min_bucket_size=target_p,
+            num_parallel_seeds=4, tail_seeds=16)
+        gcfg_f = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,
+                            pallas_sampling=False, track_accuracy=False)
+        runs["fused"] = lambda: segment_rooms_fused(
+            params, mcfg, feats, gcfg_f, min_bucket_size=target_p,
+            max_instances=1024)
+
+        for name, run in runs.items():
+            run()                                    # compile
+            t0 = time.time()
+            res = run()
+            t_grow = time.time() - t0
+            nmis = [room_metrics(f.obj_id, r.cluster_label)[0].nmi
+                    for f, r in zip(feats, res)]
+            mem = device_mem_mb()
+            pps = raw / (t_feat + t_grow)
+            line = ("P=%6d %-5s rooms=%d eq=%7d raw=%8d grow=%7.2fs "
+                    "pps=%8.0f NMI=%.3f mem=%.0fMB" % (
+                        target_p, name, n_rooms, eq, raw, t_grow, pps,
+                        np.mean(nmis), mem))
+            print(line, flush=True)
+            lines.append(line)
     with open(os.path.join(RESULTS, "scale_curve.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote", os.path.join(RESULTS, "scale_curve.txt"))
