@@ -10,9 +10,15 @@ SURVEY.md §2 parallelism row): a 2-D ``(dp, tp)`` mesh over ICI.
   final conv / 1024-d global feature) are sharded along their output feature
   dim; XLA inserts all-gathers where the tiled global feature is consumed.
 
-For the model sizes at parity, ``tp=1`` (pure DP) is the fast configuration —
-``tp`` exists to demonstrate and test the sharding path and for future wider
-variants.
+Activation shardings are deliberately LEFT TO GSPMD propagation: with the
+weight output dims sharded ``P(None, tp)``, XLA propagates the channel
+sharding through the pointwise conv stack and inserts the all-gather at the
+pooled-global-feature concat — explicit ``with_sharding_constraint`` calls
+add nothing at these sizes (verified numerically + placement-checked at
+tp=4 in ``tests/test_multichip.py::test_tp4_training_shards_params_and_
+matches``). For the model sizes at parity, ``tp=1`` (pure DP) is the fast
+configuration — ``tp`` exists to demonstrate and test the sharding path and
+for future wider variants.
 """
 
 from __future__ import annotations
