@@ -134,19 +134,36 @@ def bisect_order_stat_cols(enc: jnp.ndarray, mask_tiled: jnp.ndarray,
     """Vectorized order statistic per column group.
 
     enc (G*8, C) int32 (group g occupies rows g*8..g*8+7), mask_tiled same
-    shape, pool (G, G*8) 0/1 block-sum matrix, rank scalar. Returns (G, 1).
+    shape, pool (G, G*8) 0/1 block-sum matrix, rank scalar or (G, 1) int32
+    (per-group ranks — the fused-bisection path solves every per-step
+    order statistic in ONE 33-pass loop). Returns (G, 1).
+
+    EXACTNESS: the broadcast/pool matvecs move int32 values up to 2^31
+    through the MXU. A plain f32 dot silently rounds the inputs (and on
+    TPU a default-precision matmul truncates them to bf16's 8 mantissa
+    bits — discovered as an NMI regression at room scale, where the
+    mangled medians mis-centered the net inputs). Ints are therefore
+    split into 16-bit halves (each exactly representable) and every dot
+    runs at Precision.HIGHEST.
     """
     g = pool.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    def spread(v):
+        """Exact (G, 1) int32 -> (G*8, 1) group broadcast via the pool."""
+        up = lambda x: jnp.dot(pool.T, x.astype(jnp.float32),
+                               preferred_element_type=jnp.float32,
+                               precision=hp).astype(jnp.int32)
+        return up(v >> 16) * 65536 + up(v & 0xFFFF)
 
     def body(_, carry):
         lo, hi = carry                                   # (G, 1)
         mid = _midpoint(lo, hi)
-        mid_rows = jnp.dot(pool.T.astype(jnp.float32), mid.astype(jnp.float32),
-                           preferred_element_type=jnp.float32).astype(jnp.int32)
+        mid_rows = spread(mid)
         ind = (mask_tiled & (enc <= mid_rows)).astype(jnp.float32)
         row_counts = jnp.sum(ind, axis=1, keepdims=True)          # (G*8, 1)
-        counts = jnp.dot(pool.astype(jnp.float32), row_counts,
-                         preferred_element_type=jnp.float32).astype(jnp.int32)
+        counts = jnp.dot(pool, row_counts, preferred_element_type=jnp.float32,
+                         precision=hp).astype(jnp.int32)
         take = counts >= rank
         return (jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi))
 
@@ -437,6 +454,14 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         pc = jax.lax.broadcasted_iota(jnp.int32, (n_rec, n_rec * 8), 1)
         pool = ((pc // 8) == pr).astype(jnp.float32)
 
+    # fused-bisection pool: group 0 = inlier sample threshold, group 1 =
+    # neighbor sample threshold, groups 2.. = recenter-feature medians
+    g_all = 2 + (n_rec if exact_median else 0)
+    pr_a = jax.lax.broadcasted_iota(jnp.int32, (g_all, g_all * 8), 0)
+    pc_a = jax.lax.broadcasted_iota(jnp.int32, (g_all, g_all * 8), 1)
+    pool_all = ((pc_a // 8) == pr_a).astype(jnp.float32)
+    vox_xyz = jnp.concatenate([vox_x, vox_y, vox_z], axis=0)     # (24, p8)
+
     def chunk_intersects(cc, b):
         """Does column chunk cc's voxel-bounds box intersect bbox ``b``?
 
@@ -479,9 +504,12 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             glob_row = jnp.concatenate(
                 [r * p8 + lo + chunk_iota for r in range(8)],
                 axis=1)                                      # (1, 8*chunk) i32
+            # HIGHEST precision: a default-precision MXU pass would
+            # truncate the gathered FEATURE VALUES to bf16
             gathered = gathered + jax.lax.dot_general(
                 feat_slab, onehot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             # index accumulation must be BIT-EXACT (equality compares drive
             # the scatter): int32 masked sum on the VPU, never the MXU
             idx_col = idx_col + jnp.sum(jnp.where(hit, glob_row, 0),
@@ -496,16 +524,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             0, n_chunks, body,
             (jnp.zeros((16, k), jnp.float32), jnp.zeros((k, 1), jnp.int32)))
 
-    def sample_and_gather(mask, cnt, ctr, b):
-        """Exact masked resampling: writes sel/ranks to scratch, gathers the
-        k sampled feature columns + their global indices. ``b`` bounds the
-        mask (chunks outside are skipped in the gather)."""
-        keys = hash_keys(glob_idx, stream + ctr)
-        sel = select_mask(keys, mask, cnt, k)
+    def sample_and_gather(sel, cnt, fill_ctr, b):
+        """Gather the k sampled feature columns + global indices for a
+        precomputed exact selection mask ``sel`` (the k-subset threshold
+        comes from the fused per-step bisection in ``inner_body``). ``b``
+        bounds the mask (chunks outside are skipped in the gather)."""
         ranks, _ = prefix_ranks(sel)
         sel_s[...] = sel.astype(jnp.int32)
         ranks_s[...] = ranks
-        fill_u = uniform01(hash_keys(kcol, stream + ctr + 1))
+        fill_u = uniform01(hash_keys(kcol, stream + fill_ctr))
         targets = sample_targets(cnt, k, fill_u)
         return gather_pass(targets, b)
 
@@ -552,19 +579,37 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                            keepdims=True)                    # (1, k)
         return slot_sel
 
-    def median_offset():
-        """(16, 1) recenter offset from the exact masked median of the
-        current mask over the recenter rows."""
-        cur = current_s[...] > 0
-        cnt = jnp.sum(jnp.where(cur, 1, 0))
-        mask_tiled = jnp.concatenate([cur] * n_rec, axis=0)
-        lo_r = (cnt - 1) // 2 + 1
+    def median_offset_from(v_lo, cur, mask_tiled, cnt):
+        """(16, 1) recenter offset given the LOWER median order statistic
+        ``v_lo`` (n_rec, 1) from the fused bisection.
+
+        The upper statistic (rank cnt//2+1 = lower rank or lower rank + 1)
+        is recovered with TWO passes instead of a second 33-pass bisection:
+        if count(enc <= v_lo) >= hi_r the upper statistic IS v_lo
+        (duplicates), else it is the smallest masked value > v_lo."""
         hi_r = cnt // 2 + 1
-        v_lo = bisect_order_stat_cols(enc_s[...], mask_tiled, pool, lo_r,
-                                      -2 ** 31, 2 ** 31 - 1)
-        v_hi = bisect_order_stat_cols(enc_s[...], mask_tiled, pool, hi_r,
-                                      -2 ** 31, 2 ** 31 - 1)
-        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))  # (G,1)
+        enc = enc_s[...]
+        hp = jax.lax.Precision.HIGHEST
+        # exact int broadcast: 16-bit halves through HIGHEST-precision
+        # dots (see bisect_order_stat_cols exactness note)
+        up = lambda x: jnp.dot(pool.T, x.astype(jnp.float32),
+                               preferred_element_type=jnp.float32,
+                               precision=hp).astype(jnp.int32)
+        v_lo_rows = up(v_lo >> 16) * 65536 + up(v_lo & 0xFFFF)
+        le = (mask_tiled & (enc <= v_lo_rows)).astype(jnp.float32)
+        c_le = jnp.dot(pool, jnp.sum(le, axis=1, keepdims=True),
+                       preferred_element_type=jnp.float32,
+                       precision=hp).astype(jnp.int32)       # (n_rec, 1)
+        gt = jnp.where(mask_tiled & (enc > v_lo_rows), enc,
+                       jnp.int32(2 ** 31 - 1))
+        row_min = jnp.min(gt, axis=1, keepdims=True)         # (n_rec*8, 1)
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (n_rec, 1), 0)
+        gmin = jnp.zeros((n_rec, 1), jnp.int32)
+        for g in range(n_rec):
+            gmin = gmin + jnp.where(rowg == g,
+                                    jnp.min(row_min[g * 8:(g + 1) * 8]), 0)
+        v_hi = jnp.where(c_le >= hi_r, v_lo, gmin)
+        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
         # scatter (n_rec, 1) medians to (16, 1) offset rows
         row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         off = jnp.zeros((16, 1), jnp.float32)
@@ -603,23 +648,51 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
          smin_x, smin_y, smin_z, smax_x, smax_y, smax_z,
          log_prob, reason, ctr) = carry
         cur = current_s[...] > 0
-        cur_cnt = jnp.sum(jnp.where(cur, 1, 0))
         vis = visited_s[...] > 0
         nb_mask = (valid & ~cur & ~vis
                    & (vox_x >= min_x - 1) & (vox_x <= max_x + 1)
                    & (vox_y >= min_y - 1) & (vox_y <= max_y + 1)
                    & (vox_z >= min_z - 1) & (vox_z <= max_z + 1))
-        nb_cnt = jnp.sum(jnp.where(nb_mask, 1, 0))
+        # one reduction pass for both mask counts
+        cnt2 = jnp.sum(jnp.concatenate([cur, nb_mask], axis=0)
+                       .astype(jnp.int32), axis=1, keepdims=True)  # (16, 1)
+        cur_cnt = jnp.sum(cnt2[0:8])
+        nb_cnt = jnp.sum(cnt2[8:16])
         no_neighbor = nb_cnt == 0
 
         b_in = (min_x, max_x, min_y, max_y, min_z, max_z)
         b_nb = (min_x - 1, max_x + 1, min_y - 1, max_y + 1,
                 min_z - 1, max_z + 1)
-        g_in, idx_in = sample_and_gather(cur, cur_cnt, ctr, b_in)
-        g_nb, idx_nb = sample_and_gather(nb_mask, nb_cnt, ctr + 2, b_nb)
+
+        # ONE fused 33-pass bisection solves every per-step order
+        # statistic: the inlier k-subset key threshold, the neighbor
+        # threshold, and (exact_median) each recenter feature's lower
+        # median rank. Serial full-array passes dominate step latency;
+        # fusing cuts them from 132 (2x33 selects + 2x33 medians) to 35.
+        keys_in = hash_keys(glob_idx, stream + ctr)
+        keys_nb = hash_keys(glob_idx, stream + ctr + 2)
+        rank_rows = jax.lax.broadcasted_iota(jnp.int32, (g_all, 1), 0)
+        ranks_all = (jnp.where(rank_rows == 0, jnp.minimum(cur_cnt, k), 0)
+                     + jnp.where(rank_rows == 1, jnp.minimum(nb_cnt, k), 0)
+                     + jnp.where(rank_rows >= 2, (cur_cnt - 1) // 2 + 1, 0))
+        parts_e = [keys_in, keys_nb]
+        parts_m = [cur, nb_mask]
+        if exact_median:
+            mask_tiled = jnp.concatenate([cur] * n_rec, axis=0)
+            parts_e.append(enc_s[...])
+            parts_m.append(mask_tiled)
+        kth = bisect_order_stat_cols(
+            jnp.concatenate(parts_e, axis=0),
+            jnp.concatenate(parts_m, axis=0),
+            pool_all, ranks_all, -2 ** 31, 2 ** 31 - 1)
+        sel_in = cur & ((keys_in <= kth[0, 0]) | (cur_cnt <= k))
+        sel_nb = nb_mask & ((keys_nb <= kth[1, 0]) | (nb_cnt <= k))
+
+        g_in, idx_in = sample_and_gather(sel_in, cur_cnt, ctr + 1, b_in)
+        g_nb, idx_nb = sample_and_gather(sel_nb, nb_cnt, ctr + 3, b_nb)
 
         if exact_median:
-            off = median_offset()
+            off = median_offset_from(kth[2:, :], cur, mask_tiled, cur_cnt)
         else:
             off = sampled_median_offset(g_in)
         x_in = g_in - off
@@ -652,15 +725,23 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         add_pt = sel_s[...] > 0
         rmv_pt = ranks_s[...] > 0
         new_cur = (cur | add_pt) & ~rmv_pt
-        updated = jnp.sum(jnp.where(add_pt, 1, 0)) > 0
-        new_cnt = jnp.sum(jnp.where(new_cur, 1, 0))
+        c2 = jnp.sum(jnp.concatenate([add_pt, new_cur], axis=0)
+                     .astype(jnp.int32), axis=1, keepdims=True)   # (16, 1)
+        updated = jnp.sum(c2[0:8]) > 0
+        new_cnt = jnp.sum(c2[8:16])
 
-        vmin_x = jnp.min(jnp.where(new_cur, vox_x, BIG))
-        vmax_x = jnp.max(jnp.where(new_cur, vox_x, -BIG))
-        vmin_y = jnp.min(jnp.where(new_cur, vox_y, BIG))
-        vmax_y = jnp.max(jnp.where(new_cur, vox_y, -BIG))
-        vmin_z = jnp.min(jnp.where(new_cur, vox_z, BIG))
-        vmax_z = jnp.max(jnp.where(new_cur, vox_z, -BIG))
+        # bbox of new_cur: one min pass + one max pass over stacked xyz
+        cur3 = jnp.concatenate([new_cur] * 3, axis=0)             # (24, p8)
+        mins = jnp.min(jnp.where(cur3, vox_xyz, BIG), axis=1,
+                       keepdims=True)                             # (24, 1)
+        maxs = jnp.max(jnp.where(cur3, vox_xyz, -BIG), axis=1,
+                       keepdims=True)
+        vmin_x = jnp.min(mins[0:8])
+        vmax_x = jnp.max(maxs[0:8])
+        vmin_y = jnp.min(mins[8:16])
+        vmax_y = jnp.max(maxs[8:16])
+        vmin_z = jnp.min(mins[16:24])
+        vmax_z = jnp.max(maxs[16:24])
         within = ((vmin_x >= smin_x) & (vmin_y >= smin_y) & (vmin_z >= smin_z)
                   & (vmax_x <= smax_x) & (vmax_y <= smax_y)
                   & (vmax_z <= smax_z))

@@ -68,6 +68,68 @@ def test_sample_targets_reference_fill():
     np.testing.assert_array_equal(t2, np.arange(1, 17))
 
 
+def test_pack_room_layout_and_restore():
+    """x-sorted mod-8 interleave: restore round-trips every column, chunk
+    column ranges hold contiguous voxel-x spans, curvature ranks preserved."""
+    from learn_region_grow_tpu.data.synthetic import generate_rooms
+
+    room = generate_rooms(1, seed=3, scale=0.35)[0]
+    rf = __import__("learn_region_grow_tpu.core", fromlist=["prepare_room"]
+                    ).prepare_room(room[:, :6], room[:, 6], room[:, 7],
+                                   resolution=0.1)
+    n = len(rf.points)
+    p = max(2048, 1 << (n - 1).bit_length())
+    p8 = p // 8
+    feat, vox24, rank, obj, restore = fg.pack_room(rf, p, 13)
+    # restore maps original index -> slot; features round-trip exactly
+    np.testing.assert_array_equal(
+        feat.reshape(16, 8, p8).transpose(1, 2, 0).reshape(p, 16)[
+            restore][:, :13],
+        rf.points[:, :13].astype(np.float32))
+    np.testing.assert_array_equal(obj.reshape(-1)[restore], rf.obj_id)
+    # ranks: the point with rank 0 is the lowest-curvature point
+    flat_rank = rank.reshape(-1)
+    assert (flat_rank[restore] < fg.BIG).all()
+    assert set(flat_rank[restore]) == set(range(n))
+    r0 = np.nonzero(flat_rank[restore] == 0)[0][0]
+    assert rf.curvatures[r0] == rf.curvatures.min()
+    # slots are x-sorted in interleaved order: sorted position s at
+    # (s % 8, s // 8) -> walking s gives nondecreasing voxel x
+    vox_x = vox24[:8].reshape(-1)
+    s_order = np.argsort([(g % p8) * 8 + g // p8 for g in range(p)])
+    xs = vox_x[s_order]
+    valid = flat_rank[s_order] < fg.BIG
+    xs = xs[valid]
+    assert (np.diff(xs) >= 0).all()
+    # padding slots carry the PAD sentinel
+    assert (vox_x[flat_rank >= fg.BIG] == fg.PAD_VOX).all()
+
+
+def test_chunk_bounds_conservative_and_tight():
+    from learn_region_grow_tpu.data.synthetic import generate_rooms
+
+    room = generate_rooms(1, seed=4, scale=0.35)[0]
+    rf = __import__("learn_region_grow_tpu.core", fromlist=["prepare_room"]
+                    ).prepare_room(room[:, :6], room[:, 6], room[:, 7],
+                                   resolution=0.1)
+    p = max(2048, 1 << (len(rf.points) - 1).bit_length())
+    chunk = 128
+    feat, vox24, rank, obj, restore = fg.pack_room(rf, p, 13)
+    tbl = fg.chunk_bounds(vox24, rank, chunk)
+    p8 = p // 8
+    valid = rank < fg.BIG
+    for cc in range(p8 // chunk):
+        sl = slice(cc * chunk, (cc + 1) * chunk)
+        m = valid[:, sl]
+        if not m.any():
+            assert tbl[0, cc] > tbl[1, cc]   # never intersects
+            continue
+        for axis in range(3):
+            v = vox24[axis * 8:(axis + 1) * 8, sl]
+            assert tbl[2 * axis, cc] == v[m].min()
+            assert tbl[2 * axis + 1, cc] == v[m].max()
+
+
 def test_forward_confidences_match_lrgnet():
     """The transposed-space forward (split-head algebra) is numerically
     the reference forward."""
