@@ -69,9 +69,12 @@ def run_area(area: str, args) -> list:
     for rid in range(len(rooms)):
         if not keep(rid):
             continue
-        feats.append(prepare_room(rooms[rid], obj_ids[rid], cls_ids[rid],
-                                  resolution=args.resolution,
-                                  feature_size=args.feature_size))
+        prep = prepare_room
+        if args.device_prep:
+            from ..core.device_features import prepare_room_device as prep
+        feats.append(prep(rooms[rid], obj_ids[rid], cls_ids[rid],
+                          resolution=args.resolution,
+                          feature_size=args.feature_size))
         kept_ids.append(rid)
     t_feature = time.time() - t_feature
 
@@ -150,6 +153,13 @@ def main(argv=None):
                     help="fused whole-room Pallas kernel: exact reference "
                          "semantics, zero host round-trips (TPU; rooms "
                          "<= 131072 padded points)")
+    ap.add_argument("--device-prep", action="store_true",
+                    help="run feature prep (equalize/normals/curvature) as "
+                         "one jitted device program (core/device_features). "
+                         "Bit-exact equalization; f32 normals. NOTE: on "
+                         "this dev box the host<->device tunnel (~27 MB/s) "
+                         "cancels the compute win; on co-located hardware "
+                         "it is the fast path.")
     ap.add_argument("--tail-seeds", type=int, default=0,
                     help="adaptive fragment-tail seed count (collapses the "
                          "small-region tail; validated ~equal NMI)")
