@@ -109,7 +109,10 @@ def mean_nmi(feats, results):
 def log_mfu(results, t_grow, k=512, p=16384, peak_tflops=98.0):
     """Estimated model-FLOP utilisation of the grow phase. The loop is
     LATENCY-bound by design (sequential region growth), so MFU is small —
-    reported for the record (round-1 review: 'MFU is never measured')."""
+    reported for the record (round-1 review: 'MFU is never measured').
+    UPPER BOUND: the gather/scatter matmuls are bbox-chunk-windowed since
+    the 131k-point kernel extension, so the per-iteration gather FLOPs
+    assumed here are the worst (whole-room) case."""
     steps = sum(i["steps"] for r in results for i in r.instances)
     # per-iteration: 2 one-hot gather matmuls (2*16*P*k each) + the
     # dual-branch forward + split heads (~271 MFLOP at k=512)

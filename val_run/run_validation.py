@@ -65,6 +65,9 @@ from learn_region_grow_tpu.cli import test_random_restart as trr
 for name, mod, argv in [
     ("area5_lrgnet", tst, ["--area", "5", "--data-dir", DATA,
                            "--models-dir", MODELS]),
+    ("area5_lrgnet_fused", tst, ["--area", "5", "--fused",
+                                 "--data-dir", DATA,
+                                 "--models-dir", MODELS]),
     ("localsearch_beam_np", tbs, ["--area", "5", "--scoring", "np",
                                   "--data-dir", DATA, "--models-dir", MODELS]),
     ("localsearch_beam_ml", tbs, ["--area", "5", "--scoring", "ml",
