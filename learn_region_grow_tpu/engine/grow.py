@@ -848,7 +848,7 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         t_setup = time.time()
         g = len(room_ids)
         gp = -(-g // dp) * dp       # padded room count (inert tail rooms)
-        n_chunks = (psize // 8) // min(128, psize // 8)
+        n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
         feat = np.zeros((gp, 16, psize), np.float32)
         vox = np.full((gp, 24, psize // 8), _fg.PAD_VOX, np.int32)
         rank = np.full((gp, 8, psize // 8), 2 ** 30, np.int32)
@@ -868,7 +868,7 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
             vox[gi, :, 0] = 0
         for gi in range(gp):
             tbl[gi] = _fg.chunk_bounds(vox[gi], rank[gi],
-                                       min(128, psize // 8))
+                                       _fg.fused_chunk(psize // 8))
         kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
                   max_steps=cfg.max_steps,
                   cluster_threshold=cfg.cluster_threshold,

@@ -63,6 +63,15 @@ _CG = np.int32(np.uint32(0x9E3779B1).astype(np.int64) - 2 ** 32)
 
 MAX_FUSED_POINTS = 131072
 
+
+def fused_chunk(p8: int) -> int:
+    """Column-chunk width shared by the kernel loops AND the host-built
+    bounds table (``chunk_bounds``) — a gather slab covers 8*chunk points;
+    128 keeps the (k, 8*chunk) one-hot at (512, 1024) f32 = 2 MB, reused
+    across fori iterations. MUST be the single source of truth: a kernel
+    chunk differing from the table chunk mis-maps every skip window."""
+    return min(128, p8)
+
 REASON_NONEIGHBOR = 1
 REASON_NOEXPAND = 2
 REASON_STUCK = 3
@@ -917,9 +926,7 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
     """
     g_rooms, _, p = feat.shape
     p8 = p // 8
-    # a gather slab covers 8*chunk points; 128 keeps the (k, 8*chunk)
-    # one-hot at (512, 1024) f32 = 2 MB, reused across fori iterations
-    chunk = min(128, p8)
+    chunk = fused_chunk(p8)
     n_rec = 2 + (feature_size - 6)
 
     kernel = functools.partial(
