@@ -90,11 +90,16 @@ def _sym_eig3_smallest(a00, a11, a22, a01, a02, a12):
     n2 = jnp.sum(v2 * v2, axis=-1)
     v = jnp.where((n0 >= n1)[..., None] & (n0 >= n2)[..., None], v0,
                   jnp.where((n1 >= n2)[..., None], v1, v2))
+    nbest = jnp.maximum(jnp.maximum(n0, n1), n2)
     norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True),
                                 1e-30))
     v = v / norm
-    iso = (p2 < 1e-20)[..., None]
-    v = jnp.where(iso, jnp.array([0.0, 0.0, 1.0], jnp.float32), v)
+    # degenerate fallbacks to SOME unit vector (host SVD is equally
+    # arbitrary there): fully isotropic (p2 ~ 0) AND exactly rank-1
+    # covariances (l2 == l3 -> the (A-l1)(A-l2) product vanishes and all
+    # candidate columns are ~zero)
+    bad = ((p2 < 1e-20) | (nbest < 1e-24))[..., None]
+    v = jnp.where(bad, jnp.array([0.0, 0.0, 1.0], jnp.float32), v)
     return l3, l1 + l2 + l3, v
 
 
@@ -256,13 +261,17 @@ def prepare_room_device(raw_points, obj_id, cls_id, resolution: float = 0.1,
     scenes whose padded voxel grid exceeds ``DENSE_MAX`` cells (~2 km^2 of
     indoor scene at 0.1 m).
     """
+    from .voxel import pack_voxels, voxel_coords
+
     raw_points = np.asarray(raw_points)
     n = len(raw_points)
-    vox64 = np.round(raw_points[:n, :3].astype(np.float64)
-                     / resolution).astype(np.int64) if n else \
-        np.zeros((0, 3), np.int64)
-    origin = (vox64.min(axis=0) - 2) if n else np.zeros(3, np.int64)
-    dims = (vox64.max(axis=0) - origin + 3) if n else np.full(3, 3, np.int64)
+    # voxelize with the SHARED host rule (voxel_coords rounds in the input
+    # dtype — f32 clouds round boundary points differently than f64, and
+    # the host/device equalized SETS must match bit-exactly)
+    vox_h = (voxel_coords(raw_points[:n], resolution) if n
+             else np.zeros((0, 3), np.int64))
+    keys64, origin, dims = pack_voxels(vox_h) if n else (
+        np.zeros(0, np.int64), np.zeros(3, np.int64), np.full(3, 3, np.int64))
     if float(np.prod(dims)) >= DENSE_MAX:
         from .features import prepare_room
         return prepare_room(raw_points, obj_id, cls_id,
@@ -276,10 +285,8 @@ def prepare_room_device(raw_points, obj_id, cls_id, resolution: float = 0.1,
         rgb[:n] = raw_points[:, 3:6]
     valid = np.zeros(npad, bool)
     valid[:n] = True
-    shn = vox64 - origin
     keys = np.full(npad, I32MAX, np.int32)
-    keys[:n] = ((shn[:, 0] * dims[1] + shn[:, 1]) * dims[2]
-                + shn[:, 2]).astype(np.int32)
+    keys[:n] = keys64.astype(np.int32)
 
     dense_cap = max(1 << 20, 1 << int(np.prod(dims) + 8).bit_length())
     out = _prepare_kernel(jnp.asarray(xyz), jnp.asarray(rgb),

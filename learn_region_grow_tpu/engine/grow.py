@@ -900,6 +900,13 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
             # maps original point index -> flat slot
             lbl = labels[gi].reshape(-1)[restores[gi]].astype(int)
             n_inst = int(counters[gi, 0, 1])
+            if n_inst > max_instances:
+                # the kernel seeds to full coverage regardless (reference
+                # semantics) but only the first max_instances get log rows
+                print(f"warning: room {ri} grew {n_inst} instances; "
+                      f"per-instance log truncated to {max_instances} rows "
+                      f"(labels are complete; raise max_instances for full "
+                      f"step counts)")
             inst_logs = []
             for row in logs[gi, :min(n_inst, max_instances)]:
                 rec = {

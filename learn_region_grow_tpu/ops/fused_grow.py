@@ -927,6 +927,12 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
     g_rooms, _, p = feat.shape
     p8 = p // 8
     chunk = fused_chunk(p8)
+    if p8 % chunk != 0:
+        # scatter_pass writes and gather_pass reads exactly n_chunks*chunk
+        # columns of the scratch; a ragged tail would be read back stale
+        raise ValueError(
+            f"padded room width P={p} gives p8={p8} not divisible by the "
+            f"chunk width {chunk}; use a power-of-two bucket size")
     n_rec = 2 + (feature_size - 6)
 
     kernel = functools.partial(

@@ -42,6 +42,23 @@ def test_matches_host_oracle(kind):
     assert nd.max() < 0.05
 
 
+def test_float32_cloud_equalization_matches_host():
+    """Real dataset H5s store float32 clouds; voxel rounding must follow the
+    host rule in the INPUT dtype (an f64 upcast rounds boundary points into
+    different voxels — review finding)."""
+    rng = np.random.RandomState(9)
+    room = generate_rooms(1, seed=8, scale=0.4)[0].astype(np.float32)
+    # plant exact-boundary coordinates where f32/f64 rounding diverges
+    room[:64, 0] = np.float32(0.05)
+    room[64:128, 1] = np.float32(0.15)
+    a = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    b = prepare_room_device(room[:, :6], room[:, 6], room[:, 7],
+                            resolution=0.1)
+    np.testing.assert_array_equal(a.equalized_idx, b.equalized_idx)
+    np.testing.assert_array_equal(a.voxels, b.voxels)
+    np.testing.assert_array_equal(a.unequalized_idx, b.unequalized_idx)
+
+
 def test_feature_size_prefixes():
     room = generate_rooms(1, seed=6, scale=0.35)[0]
     full = prepare_room_device(room[:, :6], room[:, 6], room[:, 7])

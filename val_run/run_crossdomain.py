@@ -47,13 +47,15 @@ def capture(path, fn):
 t0 = time.time()
 
 # ---- cross-domain: big-room target domain (area tag "9") ----
+# source domain = whatever areas 1,2 currently hold (the furnished
+# fixture since round 2); target = scale-1.2 box rooms
 big = generate_rooms(4, seed=99, scale=1.2)
 save_h5_rooms(os.path.join(DATA, "s3dis_area9.h5"), big)
 # train with --cross-domain naming on areas 1,2 (staged already)
 trg.main(["--train-area", "1,2", "--val-area", "5", "--multiseed", "4",
           "--batch-size", "32", "--epochs", "15", "--cross-domain",
           "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
-capture(os.path.join(RESULTS_CD, "synthetic06_to_synthetic12_lrgnet.txt"),
+capture(os.path.join(RESULTS_CD, "furnished05_to_box12_lrgnet.txt"),
         lambda: tst.main(["--area", "9", "--cross-domain",
                           "--train-area", "1",
                           "--data-dir", DATA, "--models-dir", MODELS]))

@@ -51,11 +51,13 @@ def device_mem_mb():
         return -1.0
 
 
-def make_room_for_bucket(target_p: int, rng) -> np.ndarray:
-    """A furnished room whose equalized count lands in (P/2, P].
+def make_room_for_bucket(target_p: int, rng):
+    """(room, RoomFeatures) with the equalized count in (P/2, P].
 
     Initial dims from the ~100 pts/m^2 surface model, then up to 4
-    corrective redraws scaling the footprint by the measured ratio.
+    corrective redraws scaling the footprint by the measured ratio. The
+    accepted draw's features are returned too (host prep costs ~1 s per
+    100k-point room on this 1-core box — don't recompute).
     """
     area = target_p * 0.75 / 100.0                  # m^2 of surface
     h = 3.0 if target_p <= 32768 else 4.0
@@ -67,7 +69,7 @@ def make_room_for_bucket(target_p: int, rng) -> np.ndarray:
                           resolution=0.1)
         eq = len(rf.points)
         if target_p // 2 < eq <= target_p:
-            return room
+            return room, rf
         w *= np.sqrt(target_p * 0.75 / eq)
     raise RuntimeError(f"could not calibrate a room for P={target_p}")
 
@@ -86,12 +88,12 @@ def main():
     rng = np.random.RandomState(100)
     for target_p, n_rooms in configs:
         t0 = time.time()
-        rooms = [make_room_for_bucket(target_p, rng)
+        pairs = [make_room_for_bucket(target_p, rng)
                  for _ in range(n_rooms)]
+        rooms = [p[0] for p in pairs]
+        feats = [p[1] for p in pairs]
         raw = sum(len(r) for r in rooms)
-        t0 = time.time()
-        feats = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
-                 for r in rooms]
+        # generation + prep wall time (includes any calibration redraws)
         t_feat = time.time() - t0
         eq = sum(len(f.points) for f in feats)
         pmax = max(len(f.points) for f in feats)
