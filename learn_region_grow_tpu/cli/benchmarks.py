@@ -2,7 +2,8 @@
 
 Mirrors ``python benchmarks.py --mode <m> --area 5``
 (reference ``benchmarks.py``). Modes: normal, color, curvature, feature,
-smoothness, fpfh (needs PCL binaries on PATH), edge (SVM; train one with
+smoothness, fpfh (native FPFH-33, eval/fpfh.py; ``--fpfh-pcl`` shells out
+to PCL binaries like the reference), edge (SVM; train one with
 ``cli.train_edge``), pointnet, pointnet2.
 """
 
@@ -37,8 +38,8 @@ def load_fpfh_ascii(path: str) -> np.ndarray:
     return np.asarray(rows)
 
 
-def compute_fpfh(points: np.ndarray, resolution: float,
-                 tmp_dir: str) -> np.ndarray:
+def compute_fpfh_pcl(points: np.ndarray, resolution: float,
+                     tmp_dir: str) -> np.ndarray:
     pcd = os.path.join(tmp_dir, "tmp.pcd")
     out = os.path.join(tmp_dir, "fpfh.pcd")
     out_ascii = os.path.join(tmp_dir, "fpfh_ascii.pcd")
@@ -113,6 +114,10 @@ def main(argv=None):
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--models-dir", default="models")
     ap.add_argument("--model", default=None)
+    ap.add_argument("--fpfh-pcl", action="store_true",
+                    help="use external PCL binaries for FPFH (the "
+                         "reference's path) instead of the native "
+                         "implementation (eval/fpfh.py)")
     args = ap.parse_args(argv)
     mode = args.mode
     threshold = args.threshold
@@ -170,7 +175,15 @@ def main(argv=None):
                 class_labels = pointnet_class_labels(
                     mode, params_tree, num_class, points, area)
             if mode == "fpfh":
-                fpfh = compute_fpfh(points, args.resolution, args.data_dir)
+                if args.fpfh_pcl:
+                    fpfh = compute_fpfh_pcl(points, args.resolution,
+                                            args.data_dir)
+                else:
+                    from ..eval.fpfh import compute_fpfh_native
+                    raw_fpfh = compute_fpfh_native(points[:, :3], normals,
+                                                   args.resolution * 2)
+                    nrm = np.linalg.norm(raw_fpfh, axis=1, keepdims=True)
+                    fpfh = raw_fpfh / np.where(nrm == 0, 1, nrm)
 
             if mode == "edge":
                 cluster_label = edge_svm_segment(points, args.resolution,

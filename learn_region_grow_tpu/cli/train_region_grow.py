@@ -33,7 +33,14 @@ def main(argv=None):
                          "experimental/train_region_grow_rnn.py:143)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="single-device jit without mesh sharding")
+    ap.add_argument("--emb", action="store_true",
+                    help="train on embedding-conditioned 19-d staged data "
+                         "(cli/stage_embedding_data.py output; sets "
+                         "feature size 19, checkpoint lrgnet_emb_model*)")
     args = ap.parse_args(argv)
+    if args.emb:
+        from ..data.embedding_staging import EMBEDDING_FEATURE_SIZE
+        args.feature_size = EMBEDDING_FEATURE_SIZE
 
     train_areas = args.train_area.split(",")
     val_areas = args.val_area.split(",") if args.val_area else None
@@ -52,6 +59,7 @@ def main(argv=None):
         completeness_head=args.completeness_head,
         compute_dtype=args.dtype,
         tp=args.tp,
+        emb=args.emb,
     )
     mesh = None if args.no_mesh else make_mesh(tp=args.tp)
     params, summary = fit(cfg, train_areas, val_areas, mesh=mesh)

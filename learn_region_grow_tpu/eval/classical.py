@@ -9,7 +9,8 @@ scipy. Modes:
 * ``curvature``  |curvature diff| < threshold (0.01, RAW curvature)
 * ``color``      squared rgb distance < threshold (0.005)
 * ``feature``    normal & curvature & color combined (0.98 / 0.1 / 0.1)
-* ``fpfh``       normalized-FPFH dot > threshold (0.985; needs PCL binaries)
+* ``fpfh``       normalized-FPFH dot > threshold (0.985; native FPFH-33
+                 descriptors from ``eval/fpfh.py``)
 * ``edge``       SVM over pairwise features + non-max suppression
 * ``smoothness`` Rabbani-style stack-based region growing by normal dot with
                  low-curvature seeds (0.98 indoor / 0.985 scannet)

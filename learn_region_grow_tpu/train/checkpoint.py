@@ -122,11 +122,16 @@ def lrgnet_model_path(models_dir: str, val_area: str, feature_size: int = 13,
                       num_inlier: int = 512, num_neighbor: int = 512,
                       lite: Optional[int] = None,
                       cross_domain: bool = False,
-                      train_area: Optional[str] = None) -> str:
-    """Config-keyed checkpoint naming, mirroring ``train_region_grow.py:39-54``."""
+                      train_area: Optional[str] = None,
+                      emb: bool = False) -> str:
+    """Config-keyed checkpoint naming, mirroring ``train_region_grow.py:39-54``
+    (plus the embedding-conditioned variant, ``experimental/
+    test_region_grow_emb.py`` — not named upstream, chosen here)."""
     if cross_domain:
         return os.path.join(models_dir, "cross_domain",
                             f"lrgnet_{train_area}.npz")
+    if emb:
+        return os.path.join(models_dir, f"lrgnet_emb_model{val_area}.npz")
     if feature_size == 6:
         name = f"lrgnet_model{val_area}_xyz"
     elif feature_size == 9:

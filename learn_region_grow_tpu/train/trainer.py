@@ -58,6 +58,10 @@ class TrainConfig:
     checkpoint_every: int = 0
     checkpoint_path: Optional[str] = None
     resume_from: Optional[str] = None
+    # train on embedding-conditioned (19-d) staged data
+    # (``embedding_area{A}.h5`` naming, cli/stage_embedding_data.py; the
+    # checkpoint is named lrgnet_emb_model{val} for cli/test_region_grow_emb)
+    emb: bool = False
 
     def model_config(self) -> lrgnet.LrgNetConfig:
         return lrgnet.LrgNetConfig(
@@ -234,14 +238,19 @@ def fit(cfg: TrainConfig, train_areas: List[str],
                      and epoch % cfg.val_step == cfg.val_step - 1)
             )
             seed = epoch % cfg.multiseed if cfg.multiseed > 0 else None
+            if cfg.emb:
+                from ..data.embedding_staging import embedding_staged_path
+                path_fn = embedding_staged_path
+            else:
+                path_fn = staged_path
             train_paths = [
-                staged_path(cfg.data_dir, a,
-                            seed if not a.startswith("synthetic") else None)
+                path_fn(cfg.data_dir, a,
+                        seed if not a.startswith("synthetic") else None)
                 for a in train_areas
             ]
             train_set = load_sample_set(train_paths, cfg.feature_size)
             if val_epoch or (val_areas and val_set is None):
-                val_paths = [staged_path(cfg.data_dir, a, None)
+                val_paths = [path_fn(cfg.data_dir, a, None)
                              for a in (val_areas or [])]
                 val_set = load_sample_set(val_paths, cfg.feature_size)
         if len(train_set) < cfg.batch_size:
@@ -318,7 +327,8 @@ def save_model(cfg: TrainConfig, params, val_area: str,
                train_area: Optional[str] = None) -> str:
     path = ckpt_lib.lrgnet_model_path(
         cfg.models_dir, val_area, cfg.feature_size, cfg.num_inlier,
-        cfg.num_neighbor, cfg.lite, cfg.cross_domain, train_area)
+        cfg.num_neighbor, cfg.lite, cfg.cross_domain, train_area,
+        emb=cfg.emb)
     ckpt_lib.save_checkpoint(path, params, config=dataclasses.asdict(cfg))
     print(f"Saved model to {path}")
     return path

@@ -112,6 +112,37 @@ def test_embedding_grow_end_to_end(tiny_rooms, mcp, emb_trained):
     assert m.nmi > 0.5, f"NMI too low: {m.nmi}"
 
 
+def test_emb_trainer_path(tiny_rooms, mcp, tmp_path):
+    """``TrainConfig(emb=True)`` trains from ``embedding_area*.h5`` files and
+    saves the ``lrgnet_emb_model*`` checkpoint the emb CLI driver loads."""
+    from learn_region_grow_tpu.data.embedding_staging import (
+        embedding_staged_path)
+    from learn_region_grow_tpu.train.trainer import fit, save_model
+    from learn_region_grow_tpu.utils.io import save_staged_h5
+
+    mcp_params, mcp_cfg = mcp
+    rooms6 = [r[:, :6] for r in tiny_rooms]
+    objs = [r[:, 6] for r in tiny_rooms]
+    clss = [r[:, 7] for r in tiny_rooms]
+    data_dir = str(tmp_path / "data")
+    models_dir = str(tmp_path / "models")
+    samples = stage_embedding_rooms(rooms6, objs, clss, mcp_params, mcp_cfg,
+                                    seed=None)
+    out = embedding_staged_path(data_dir, "7", None)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_staged_h5(out, samples)
+
+    cfg = TrainConfig(batch_size=8, num_inlier=64, num_neighbor=64,
+                      max_epoch=1, multiseed=0,
+                      feature_size=EMBEDDING_FEATURE_SIZE, emb=True,
+                      data_dir=data_dir, models_dir=models_dir)
+    params, summary = fit(cfg, ["7"], verbose=False)
+    path = save_model(cfg, params, "7")
+    assert path.endswith("lrgnet_emb_model7.npz")
+    assert os.path.exists(path)
+    assert np.isfinite(summary["final_loss"])
+
+
 def test_emb_cli_driver(tiny_rooms, mcp, emb_trained, tmp_path, capsys):
     """cli/test_region_grow_emb runs end to end from checkpoints on disk
     (mirrors experimental/test_region_grow_emb.py as a supported CLI)."""

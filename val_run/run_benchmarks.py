@@ -39,7 +39,8 @@ STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
 # --- classical modes (no training) ---
 if STAGE in ("all", "classical"):
     from learn_region_grow_tpu.cli import benchmarks as bm
-    for mode in ("normal", "color", "curvature", "feature", "smoothness"):
+    for mode in ("normal", "color", "curvature", "feature", "smoothness",
+                 "fpfh"):
         capture("area5_%s" % mode,
                 lambda m=mode: bm.main(["--mode", m, "--area", "5",
                                         "--data-dir", DATA]))

@@ -1,0 +1,67 @@
+"""C30 validation: embedding-conditioned growing (19-d) end to end.
+
+Uses the already-staged furnished areas (run_validation.py stage 'data') and
+the trained MCPNet checkpoint (run_validation.py stage 'mcp'): stages 19-d
+embedding growth data for the train areas (4 seeds) + val area, trains the
+19-d LrgNet with the multiseed protocol, and evaluates the emb CLI driver on
+area 5.  Stdout log -> results/synthetic/area5_emb.txt (the regression
+record), mirroring the reference ``experimental/test_region_grow_emb.py``
+workflow which the upstream repo left bit-rotted.
+"""
+import io
+import os
+import sys
+import time
+
+BASE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(BASE, "data")
+MODELS = os.path.join(BASE, "models")
+RESULTS = os.path.join(os.path.dirname(BASE), "results", "synthetic")
+MCP_MODEL = os.path.join(MODELS, "mcpnet_model5.npz")
+
+from learn_region_grow_tpu.engine.grow import enable_compilation_cache
+enable_compilation_cache()
+
+STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
+t0 = time.time()
+
+if STAGE in ("all", "data"):
+    from learn_region_grow_tpu.cli import stage_embedding_data as sed
+    for seed in range(4):
+        sed.main(["--area", "1,2", "--seed", str(seed), "--data-dir", DATA,
+                  "--mcp-model", MCP_MODEL])
+        print("emb staging seed %d done %.1fs" % (seed, time.time() - t0),
+              flush=True)
+    sed.main(["--area", "5", "--data-dir", DATA, "--mcp-model", MCP_MODEL])
+    print("emb staging done %.1fs" % (time.time() - t0), flush=True)
+
+if STAGE in ("all", "train"):
+    from learn_region_grow_tpu.cli import train_region_grow as trg
+    trg.main(["--train-area", "1,2", "--val-area", "5", "--multiseed", "4",
+              "--batch-size", "32", "--epochs", "21", "--emb",
+              "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
+    print("emb training done %.1fs" % (time.time() - t0), flush=True)
+
+if STAGE in ("all", "eval"):
+    from learn_region_grow_tpu.cli import test_region_grow_emb as tre
+
+    class Tee:
+        def __init__(self, *s):
+            self.s = s
+
+        def write(self, x):
+            [f.write(x) for f in self.s]
+
+        def flush(self):
+            [f.flush() for f in self.s]
+
+    old = sys.stdout
+    log = io.StringIO()
+    sys.stdout = Tee(old, log)
+    tre.main(["--area", "5", "--mcp-model", MCP_MODEL,
+              "--data-dir", DATA, "--models-dir", MODELS])
+    sys.stdout = old
+    with open(os.path.join(RESULTS, "area5_emb.txt"), "w") as f:
+        f.write(log.getvalue())
+    print("emb eval done %.1fs -> results/synthetic/area5_emb.txt"
+          % (time.time() - t0), flush=True)
