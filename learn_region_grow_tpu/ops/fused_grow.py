@@ -36,6 +36,12 @@ Design notes:
   The stochastic decisions therefore sample the same DISTRIBUTIONS as the
   reference (uniform subsets, Bernoulli thresholds) through a different
   stream — per-seed trajectories differ, quality metrics must match.
+* **Range-bounded steps.** Points pack x-sorted (``pack_room``), so the
+  chunks intersecting a step's bbox form one contiguous range; every
+  per-step pass (prepare/bisection/sel-ranks/median/commit over 1024-col
+  slabs, gathers/scatters over 128-col chunks) is bounded by it — per-step
+  cost scales with the REGION footprint, not the room
+  (docs/pallas_grow_kernel_design.md, "Range-bounded passes").
 
 The kernel supports the standard architecture (lite=None) and
 P <= MAX_FUSED_POINTS = 131072 (VMEM budget: the room block plus scratch is
@@ -417,14 +423,25 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
     (labels_ref, log_ref, counters_ref,
-     visited_s, tried_s, current_s, sel_s, ranks_s, enc_s) = (
+     visited_s, tried_s, current_s, sel_s, ranks_s, enc_s, enc_all_s) = (
         refs[21], refs[22], refs[23], refs[24], refs[25], refs[26],
-        refs[27], refs[28], refs[29])
+        refs[27], refs[28], refs[29], refs[30])
     w = _unpack_weight_refs(refs[0:21])
 
     p8 = rank_ref.shape[2]
     p = 8 * p8
     n_chunks = p8 // chunk
+    # Bounded PER-STEP passes (prepare/bisection/sel-ranks/median/commit)
+    # iterate wider slabs than the gather/scatter chunk: their per-column
+    # work is only 8-90 rows, so at chunk=128 the loop control dominates
+    # the vector work (measured: -14% at P=65536, -30% at P=131072 when
+    # first landed on 128-column slabs). 8 chunks = 1024 columns amortizes
+    # the control 8x; the range bound keeps the same granularity in units
+    # of slabs. n_chunks is a power of two (power-of-two buckets), so
+    # slab_chunks always divides it.
+    slab_chunks = min(8, n_chunks)
+    n_slabs = n_chunks // slab_chunks
+    sw = slab_chunks * chunk
     room_i = pl.program_id(0)
     room_seed = seed_ref[room_i, 0]
     # decorrelate adjacent room seeds with a wrapping golden-ratio
@@ -469,7 +486,6 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     pr_a = jax.lax.broadcasted_iota(jnp.int32, (g_all, g_all * 8), 0)
     pc_a = jax.lax.broadcasted_iota(jnp.int32, (g_all, g_all * 8), 1)
     pool_all = ((pc_a // 8) == pr_a).astype(jnp.float32)
-    vox_xyz = jnp.concatenate([vox_x, vox_y, vox_z], axis=0)     # (24, p8)
 
     def chunk_intersects(cc, b):
         """Does column chunk cc's voxel-bounds box intersect bbox ``b``?
@@ -484,12 +500,14 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 & (tbl_ref[room_i, 5, cc] >= lz)
                 & (tbl_ref[room_i, 4, cc] <= hz))
 
-    def gather_pass(targets, b):
+    def gather_pass(targets, b, cmin, cmax):
         """Rank-match gather over the room in column slabs (fori_loop, so
         Mosaic reuses ONE slab's temporaries — unrolled chunk loops blow
-        the scoped-vmem stack at P=16384). Chunks whose voxel bounds miss
-        the sampled set's bbox ``b`` are skipped entirely (the selection
-        mask is zero there, so they contribute nothing).
+        the scoped-vmem stack at P=16384). Only chunks in the step's
+        contiguous x range [cmin, cmax] are visited, and chunks whose
+        voxel bounds miss the sampled set's bbox ``b`` are skipped
+        entirely (the selection mask is zero there, so they contribute
+        nothing).
 
         Reads sel/ranks from scratch via dynamic pl.ds slices (the proven
         ops/masked_select pattern). Returns (gathered (16, k) f32,
@@ -530,31 +548,91 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                 lambda c: slab(cc, c), lambda c: c, carry)
 
         return jax.lax.fori_loop(
-            0, n_chunks, body,
+            cmin, cmax + 1, body,
             (jnp.zeros((16, k), jnp.float32), jnp.zeros((k, 1), jnp.int32)))
 
-    def sample_and_gather(sel, cnt, fill_ctr, b):
-        """Gather the k sampled feature columns + global indices for a
-        precomputed exact selection mask ``sel`` (the k-subset threshold
-        comes from the fused per-step bisection in ``inner_body``). ``b``
-        bounds the mask (chunks outside are skipped in the gather)."""
-        ranks, _ = prefix_ranks(sel)
-        sel_s[...] = sel.astype(jnp.int32)
-        ranks_s[...] = ranks
+    def build_sel_ranks(row_off, thr, smin, smax):
+        """Write the selection mask (``enc_all`` group rows <= ``thr``) and
+        its 1-based global-row-major prefix ranks into sel_s / ranks_s —
+        range slabs only (everything selected lies inside them; the
+        gather never reads outside).
+
+        Two bounded passes: (1) per-slab row totals, (2) in-slab row
+        prefix + cross-slab and cross-row offsets. Replaces the full-room
+        Hillis-Steele ``prefix_ranks`` in the per-step path."""
+        thr_rows = jnp.full((8, 1), thr, jnp.int32)
+
+        def ph1(s, rt):                                   # rt (8, n_slabs)
+            slab = enc_all_s[pl.ds(row_off, 8), pl.ds(s * sw, sw)]
+            t = jnp.sum((slab <= thr_rows).astype(jnp.int32), axis=1,
+                        keepdims=True)                    # (8, 1)
+            colmask = jax.lax.broadcasted_iota(
+                jnp.int32, (8, n_slabs), 1) == s
+            return rt + jnp.where(colmask, t, 0)
+
+        rt = jax.lax.fori_loop(smin, smax + 1, ph1,
+                               jnp.zeros((8, n_slabs), jnp.int32))
+        # exclusive per-row prefix across slabs
+        inc = rt
+        d = 1
+        while d < n_slabs:
+            inc = inc + jnp.concatenate(
+                [jnp.zeros((8, d), jnp.int32), inc[:, :n_slabs - d]],
+                axis=1)
+            d *= 2
+        row_prior = inc - rt                              # (8, n_slabs)
+        row_tot = inc[:, n_slabs - 1:n_slabs]             # (8, 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        row_base = jnp.zeros((8, 1), jnp.int32)
+        for r in range(1, 8):
+            row_base = row_base + jnp.where(row_ids >= r,
+                                            row_tot[r - 1:r], 0)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (8, n_slabs), 1)
+
+        def ph2(s, _):
+            lo = s * sw
+            sel = (enc_all_s[pl.ds(row_off, 8), pl.ds(lo, sw)]
+                   <= thr_rows)
+            cum = sel.astype(jnp.int32)
+            d = 1
+            while d < sw:
+                cum = cum + jnp.concatenate(
+                    [jnp.zeros((8, d), jnp.int32), cum[:, :sw - d]],
+                    axis=1)
+                d *= 2
+            prior = jnp.sum(jnp.where(cidx == s, row_prior, 0), axis=1,
+                            keepdims=True)                # (8, 1)
+            sel_s[pl.ds(0, 8), pl.ds(lo, sw)] = sel.astype(jnp.int32)
+            ranks_s[pl.ds(0, 8), pl.ds(lo, sw)] = (cum + prior
+                                                   + row_base)
+            return 0
+
+        jax.lax.fori_loop(smin, smax + 1, ph2, 0)
+
+    def sample_and_gather(row_off, thr, cnt, fill_ctr, b, cmin, cmax,
+                          smin, smax):
+        """Gather the k sampled feature columns + global indices for the
+        selection ``enc_all[group] <= thr`` (threshold from the fused
+        per-step bisection; INT32_MAX-1 when cnt <= k selects the whole
+        mask). ``b`` bounds the selection; [cmin, cmax] is the step's
+        chunk range, [smin, smax] the same range in slab units."""
+        build_sel_ranks(row_off, thr, smin, smax)
         fill_u = uniform01(hash_keys(kcol, stream + fill_ctr))
         targets = sample_targets(cnt, k, fill_u)
-        return gather_pass(targets, b)
+        return gather_pass(targets, b, cmin, cmax)
 
-    def scatter_pass(idx_col, dec_col, out_ref, b):
+    def scatter_pass(idx_col, dec_col, out_ref, b, cmin, cmax):
         """Decisions (k, 1) at sampled indices (k, 1) -> point mask written
         into ``out_ref`` ((8, P8) i32 scratch) + duplicate-slot-OR
         membership slot_sel (1, k).
 
         Column-chunked like ``gather_pass``: a full (k, P8) hit matrix is
         32 MB of VMEM at P=131072, but per (row, chunk) slab it is a
-        reusable (k, chunk) temporary. Chunks outside bbox ``b`` (which
-        bounds every sampled index) just zero-fill. ``out_ref`` reuses the
-        sampling scratch (sel/ranks), dead once both gathers are done."""
+        reusable (k, chunk) temporary. Only the step's chunk range
+        [cmin, cmax] is visited (the commit pass never reads outside it);
+        range chunks outside bbox ``b`` (which bounds every sampled index)
+        just zero-fill. ``out_ref`` reuses the sampling scratch
+        (sel/ranks), dead once both gathers are done."""
         rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         deci = dec_col > 0
@@ -581,23 +659,25 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, body, 0)
+        jax.lax.fori_loop(cmin, cmax + 1, body, 0)
         idx_row = idx_col.reshape(1, k)
         dup_hit = (idx_col == idx_row) & deci                # (k, k)
         slot_sel = jnp.max(dup_hit.astype(jnp.int32), axis=0,
                            keepdims=True)                    # (1, k)
         return slot_sel
 
-    def median_offset_from(v_lo, cur, mask_tiled, cnt):
+    def median_offset_from(v_lo, cnt, smin, smax):
         """(16, 1) recenter offset given the LOWER median order statistic
         ``v_lo`` (n_rec, 1) from the fused bisection.
 
         The upper statistic (rank cnt//2+1 = lower rank or lower rank + 1)
-        is recovered with TWO passes instead of a second 33-pass bisection:
-        if count(enc <= v_lo) >= hi_r the upper statistic IS v_lo
-        (duplicates), else it is the smallest masked value > v_lo."""
+        is recovered with ONE bounded pass instead of a second 33-pass
+        bisection: if count(enc <= v_lo) >= hi_r the upper statistic IS
+        v_lo (duplicates), else it is the smallest masked value > v_lo.
+        Reads the inlier-masked encodings from ``enc_all`` rows 16.. —
+        sentinel slots (INT32_MAX) never satisfy ``<= v_lo`` and survive
+        the ``> v_lo`` min as the same sentinel the old full pass used."""
         hi_r = cnt // 2 + 1
-        enc = enc_s[...]
         hp = jax.lax.Precision.HIGHEST
         # exact int broadcast: 16-bit halves through HIGHEST-precision
         # dots (see bisect_order_stat_cols exactness note)
@@ -605,13 +685,22 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                preferred_element_type=jnp.float32,
                                precision=hp).astype(jnp.int32)
         v_lo_rows = up(v_lo >> 16) * 65536 + up(v_lo & 0xFFFF)
-        le = (mask_tiled & (enc <= v_lo_rows)).astype(jnp.float32)
-        c_le = jnp.dot(pool, jnp.sum(le, axis=1, keepdims=True),
-                       preferred_element_type=jnp.float32,
+
+        def acc(s, carry):
+            cle, rmin = carry
+            slab = enc_all_s[pl.ds(16, n_rec * 8), pl.ds(s * sw, sw)]
+            cle = cle + jnp.sum((slab <= v_lo_rows).astype(jnp.float32),
+                                axis=1, keepdims=True)
+            gt = jnp.where(slab > v_lo_rows, slab, jnp.int32(2 ** 31 - 1))
+            rmin = jnp.minimum(rmin, jnp.min(gt, axis=1, keepdims=True))
+            return cle, rmin
+
+        cle_rows, row_min = jax.lax.fori_loop(
+            smin, smax + 1, acc,
+            (jnp.zeros((n_rec * 8, 1), jnp.float32),
+             jnp.full((n_rec * 8, 1), 2 ** 31 - 1, jnp.int32)))
+        c_le = jnp.dot(pool, cle_rows, preferred_element_type=jnp.float32,
                        precision=hp).astype(jnp.int32)       # (n_rec, 1)
-        gt = jnp.where(mask_tiled & (enc > v_lo_rows), enc,
-                       jnp.int32(2 ** 31 - 1))
-        row_min = jnp.min(gt, axis=1, keepdims=True)         # (n_rec*8, 1)
         rowg = jax.lax.broadcasted_iota(jnp.int32, (n_rec, 1), 0)
         gmin = jnp.zeros((n_rec, 1), jnp.int32)
         for g in range(n_rec):
@@ -652,56 +741,130 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             rec = rec | (row16 == fr)
         return jnp.where(rec, med, 0.0)
 
+    IMAX = jnp.int32(2 ** 31 - 1)
+
     def inner_body(carry):
         (done, steps, stuck, min_x, min_y, min_z, max_x, max_y, max_z,
          smin_x, smin_y, smin_z, smax_x, smax_y, smax_z,
          log_prob, reason, ctr) = carry
-        cur = current_s[...] > 0
-        vis = visited_s[...] > 0
-        nb_mask = (valid & ~cur & ~vis
-                   & (vox_x >= min_x - 1) & (vox_x <= max_x + 1)
-                   & (vox_y >= min_y - 1) & (vox_y <= max_y + 1)
-                   & (vox_z >= min_z - 1) & (vox_z <= max_z + 1))
-        # one reduction pass for both mask counts
-        cnt2 = jnp.sum(jnp.concatenate([cur, nb_mask], axis=0)
-                       .astype(jnp.int32), axis=1, keepdims=True)  # (16, 1)
-        cur_cnt = jnp.sum(cnt2[0:8])
-        nb_cnt = jnp.sum(cnt2[8:16])
-        no_neighbor = nb_cnt == 0
-
         b_in = (min_x, max_x, min_y, max_y, min_z, max_z)
         b_nb = (min_x - 1, max_x + 1, min_y - 1, max_y + 1,
                 min_z - 1, max_z + 1)
 
-        # ONE fused 33-pass bisection solves every per-step order
-        # statistic: the inlier k-subset key threshold, the neighbor
-        # threshold, and (exact_median) each recenter feature's lower
-        # median rank. Serial full-array passes dominate step latency;
-        # fusing cuts them from 132 (2x33 selects + 2x33 medians) to 35.
-        keys_in = hash_keys(glob_idx, stream + ctr)
-        keys_nb = hash_keys(glob_idx, stream + ctr + 2)
+        # --- contiguous chunk range covering b_nb in x --------------------
+        # (the layout is x-sorted, pack_room, so chunks whose x span
+        # intersects [lx, hx] form one contiguous index range; scalar scan
+        # over the SMEM bounds table). Every per-step pass below is
+        # bounded by [cmin, cmax] — per-step cost scales with the REGION,
+        # not the room.
+        def rng_body(cc, c):
+            cmn, cmx = c
+            inter = ((tbl_ref[room_i, 1, cc] >= b_nb[0])
+                     & (tbl_ref[room_i, 0, cc] <= b_nb[1]))
+            return (jnp.where(inter, jnp.minimum(cmn, cc), cmn),
+                    jnp.where(inter, jnp.maximum(cmx, cc), cmx))
+
+        cmin, cmax = jax.lax.fori_loop(
+            0, n_chunks, rng_body,
+            (jnp.int32(n_chunks - 1), jnp.int32(0)))
+        smin = cmin // slab_chunks
+        smax = cmax // slab_chunks
+
+        # --- prepare pass: masked encodings + counts (branch-free) --------
+        # enc_all rows: [0:8] inlier sample keys under the current mask,
+        # [8:16] neighbor keys under the bbox-neighbor mask, [16:] recenter
+        # encodings under the current mask; sentinel IMAX elsewhere. Keys
+        # clamp to IMAX-1 so a (2^-31-probability) key equal to the
+        # sentinel cannot alias a masked-out slot. y/z-missing chunks in
+        # the x range write pure sentinel (their per-point masks are
+        # all-false) — no conditionals anywhere in the bounded passes.
+        def prep_body(s, c):
+            lo = s * sw
+            curs = current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
+            viss = visited_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
+            vxs = vox_ref[0, 0:8, pl.ds(lo, sw)]
+            vys = vox_ref[0, 8:16, pl.ds(lo, sw)]
+            vzs = vox_ref[0, 16:24, pl.ds(lo, sw)]
+            rks = rank_ref[0, pl.ds(0, 8), pl.ds(lo, sw)]
+            nbs = ((rks < BIG) & ~curs & ~viss
+                   & (vxs >= b_nb[0]) & (vxs <= b_nb[1])
+                   & (vys >= b_nb[2]) & (vys <= b_nb[3])
+                   & (vzs >= b_nb[4]) & (vzs <= b_nb[5]))
+            gidx = (jax.lax.broadcasted_iota(jnp.int32, (8, sw), 0) * p8
+                    + lo
+                    + jax.lax.broadcasted_iota(jnp.int32, (8, sw), 1))
+            ki = jnp.minimum(hash_keys(gidx, stream + ctr), IMAX - 1)
+            kn = jnp.minimum(hash_keys(gidx, stream + ctr + 2), IMAX - 1)
+            enc_all_s[pl.ds(0, 8), pl.ds(lo, sw)] = jnp.where(
+                curs, ki, IMAX)
+            enc_all_s[pl.ds(8, 8), pl.ds(lo, sw)] = jnp.where(
+                nbs, kn, IMAX)
+            if exact_median:
+                es = enc_s[pl.ds(0, n_rec * 8), pl.ds(lo, sw)]
+                curt = jnp.concatenate([curs] * n_rec, axis=0)
+                enc_all_s[pl.ds(16, n_rec * 8), pl.ds(lo, sw)] = (
+                    jnp.where(curt, es, IMAX))
+            return c + jnp.sum(jnp.concatenate([curs, nbs], axis=0)
+                               .astype(jnp.int32), axis=1, keepdims=True)
+
+        cnt2 = jax.lax.fori_loop(smin, smax + 1, prep_body,
+                                 jnp.zeros((16, 1), jnp.int32))
+        cur_cnt = jnp.sum(cnt2[0:8])
+        nb_cnt = jnp.sum(cnt2[8:16])
+        no_neighbor = nb_cnt == 0
+
+        # --- ONE fused 33-pass bisection, range-bounded -------------------
+        # solves every per-step order statistic (inlier k-subset key
+        # threshold, neighbor threshold, each recenter feature's lower
+        # median rank) over the sentinel-masked enc_all slabs.
         rank_rows = jax.lax.broadcasted_iota(jnp.int32, (g_all, 1), 0)
         ranks_all = (jnp.where(rank_rows == 0, jnp.minimum(cur_cnt, k), 0)
                      + jnp.where(rank_rows == 1, jnp.minimum(nb_cnt, k), 0)
                      + jnp.where(rank_rows >= 2, (cur_cnt - 1) // 2 + 1, 0))
-        parts_e = [keys_in, keys_nb]
-        parts_m = [cur, nb_mask]
-        if exact_median:
-            mask_tiled = jnp.concatenate([cur] * n_rec, axis=0)
-            parts_e.append(enc_s[...])
-            parts_m.append(mask_tiled)
-        kth = bisect_order_stat_cols(
-            jnp.concatenate(parts_e, axis=0),
-            jnp.concatenate(parts_m, axis=0),
-            pool_all, ranks_all, -2 ** 31, 2 ** 31 - 1)
-        sel_in = cur & ((keys_in <= kth[0, 0]) | (cur_cnt <= k))
-        sel_nb = nb_mask & ((keys_nb <= kth[1, 0]) | (nb_cnt <= k))
+        hp = jax.lax.Precision.HIGHEST
 
-        g_in, idx_in = sample_and_gather(sel_in, cur_cnt, ctr + 1, b_in)
-        g_nb, idx_nb = sample_and_gather(sel_nb, nb_cnt, ctr + 3, b_nb)
+        def spread_all(v):
+            up = lambda x: jnp.dot(pool_all.T, x.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32,
+                                   precision=hp).astype(jnp.int32)
+            return up(v >> 16) * 65536 + up(v & 0xFFFF)
+
+        def bis_body(_, bc):
+            lo_, hi_ = bc                                   # (g_all, 1)
+            mid = _midpoint(lo_, hi_)
+            mid_rows = spread_all(mid)
+
+            def acc(s, rc):
+                slab = enc_all_s[pl.ds(0, g_all * 8), pl.ds(s * sw, sw)]
+                return rc + jnp.sum((slab <= mid_rows).astype(jnp.float32),
+                                    axis=1, keepdims=True)
+
+            rcounts = jax.lax.fori_loop(
+                smin, smax + 1, acc,
+                jnp.zeros((g_all * 8, 1), jnp.float32))
+            counts = jnp.dot(pool_all, rcounts,
+                             preferred_element_type=jnp.float32,
+                             precision=hp).astype(jnp.int32)
+            take = counts >= ranks_all
+            return (jnp.where(take, lo_, mid + 1),
+                    jnp.where(take, mid, hi_))
+
+        # hi0 = IMAX-1 keeps every probe mid strictly below the sentinel
+        kth, _ = jax.lax.fori_loop(
+            0, 33, bis_body,
+            (jnp.full((g_all, 1), -2 ** 31, jnp.int32),
+             jnp.full((g_all, 1), 2 ** 31 - 2, jnp.int32)))
+        # cnt <= k selects the whole mask: IMAX-1 admits every non-sentinel
+        thr_in = jnp.where(cur_cnt <= k, IMAX - 1, kth[0, 0])
+        thr_nb = jnp.where(nb_cnt <= k, IMAX - 1, kth[1, 0])
+
+        g_in, idx_in = sample_and_gather(0, thr_in, cur_cnt, ctr + 1,
+                                         b_in, cmin, cmax, smin, smax)
+        g_nb, idx_nb = sample_and_gather(8, thr_nb, nb_cnt, ctr + 3,
+                                         b_nb, cmin, cmax, smin, smax)
 
         if exact_median:
-            off = median_offset_from(kth[2:, :], cur, mask_tiled, cur_cnt)
+            off = median_offset_from(kth[2:, :], cur_cnt, smin, smax)
         else:
             off = sampled_median_offset(g_in)
         x_in = g_in - off
@@ -718,9 +881,13 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         rmv_dec = (u_rmv < rmv_conf.reshape(k, 1)).astype(jnp.int32)
 
         # sel_s/ranks_s are dead after the second gather — reuse as the
-        # scatter targets (chunked; no whole-room hit matrix in VMEM)
-        add_slot_sel = scatter_pass(idx_nb, add_dec, sel_s, b_nb)
-        rmv_slot_sel = scatter_pass(idx_in, rmv_dec, ranks_s, b_in)
+        # scatter targets (chunked; no whole-room hit matrix in VMEM).
+        # Scatter bounds are SLAB-ALIGNED so the slab-width commit pass
+        # below never reads a stale chunk at the range edges.
+        c0 = smin * slab_chunks
+        c1 = (smax + 1) * slab_chunks - 1
+        add_slot_sel = scatter_pass(idx_nb, add_dec, sel_s, b_nb, c0, c1)
+        rmv_slot_sel = scatter_pass(idx_in, rmv_dec, ranks_s, b_in, c0, c1)
 
         eps = jnp.float32(1e-10)
         a_sel = add_slot_sel > 0
@@ -731,20 +898,40 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                                1.0 - rmv_conf) + eps))
                    ) / jnp.float32(k)
 
-        add_pt = sel_s[...] > 0
-        rmv_pt = ranks_s[...] > 0
-        new_cur = (cur | add_pt) & ~rmv_pt
-        c2 = jnp.sum(jnp.concatenate([add_pt, new_cur], axis=0)
-                     .astype(jnp.int32), axis=1, keepdims=True)   # (16, 1)
-        updated = jnp.sum(c2[0:8]) > 0
-        new_cnt = jnp.sum(c2[8:16])
+        # --- commit pass: mask update + reductions, range-bounded ---------
+        # Outside [cmin, cmax] nothing changed: cur is empty there (range
+        # covers bbox(cur)+1) and the scatters only wrote range chunks, so
+        # new_cur == cur == 0 and current_s needs no write. On noneighbor
+        # the reference breaks before the update — write cur back
+        # unchanged (branch-free).
+        keep_cur = no_neighbor
 
-        # bbox of new_cur: one min pass + one max pass over stacked xyz
-        cur3 = jnp.concatenate([new_cur] * 3, axis=0)             # (24, p8)
-        mins = jnp.min(jnp.where(cur3, vox_xyz, BIG), axis=1,
-                       keepdims=True)                             # (24, 1)
-        maxs = jnp.max(jnp.where(cur3, vox_xyz, -BIG), axis=1,
-                       keepdims=True)
+        def commit_body(s, c):
+            addc, newc, mn, mx = c
+            lo = s * sw
+            curs = current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
+            adds = sel_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
+            rmvs = ranks_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
+            ncur = (curs | adds) & ~rmvs
+            commit = (curs & keep_cur) | (ncur & ~keep_cur)
+            current_s[pl.ds(0, 8), pl.ds(lo, sw)] = commit.astype(
+                jnp.int32)
+            c2 = jnp.sum(jnp.concatenate([adds, ncur], axis=0)
+                         .astype(jnp.int32), axis=1, keepdims=True)
+            vxyz = vox_ref[0, pl.ds(0, 24), pl.ds(lo, sw)]
+            nc3 = jnp.concatenate([ncur] * 3, axis=0)       # (24, sw)
+            mn = jnp.minimum(mn, jnp.min(jnp.where(nc3, vxyz, BIG),
+                                         axis=1, keepdims=True))
+            mx = jnp.maximum(mx, jnp.max(jnp.where(nc3, vxyz, -BIG),
+                                         axis=1, keepdims=True))
+            return addc + jnp.sum(c2[0:8]), newc + jnp.sum(c2[8:16]), mn, mx
+
+        add_cnt, new_cnt, mins, maxs = jax.lax.fori_loop(
+            smin, smax + 1, commit_body,
+            (jnp.int32(0), jnp.int32(0),
+             jnp.full((24, 1), BIG, jnp.int32),
+             jnp.full((24, 1), -BIG, jnp.int32)))
+        updated = add_cnt > 0
         vmin_x = jnp.min(mins[0:8])
         vmax_x = jnp.max(maxs[0:8])
         vmin_y = jnp.min(mins[8:16])
@@ -766,11 +953,6 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             jnp.where(~updated | (new_cnt == 0), REASON_NOEXPAND,
                       jnp.where(stuck_stop, REASON_STUCK,
                                 jnp.where(hit_cap, REASON_MAXSTEPS, 0))))
-
-        # commit: on noneighbor the reference breaks before the update
-        # (boolean algebra — Mosaic cannot legalize selects on i1 vectors)
-        commit = (cur & no_neighbor) | (new_cur & ~no_neighbor)
-        current_s[...] = commit.astype(jnp.int32)
 
         def upd(v_new, v_old):
             return jnp.where(done_now, v_old, v_new)
@@ -983,6 +1165,13 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             pltpu.VMEM((8, p8), jnp.int32),     # sampling selection mask
             pltpu.VMEM((8, p8), jnp.int32),     # prefix ranks
             pltpu.VMEM((n_rec * 8, p8), jnp.int32),   # sortable feat enc
+            # per-step MASKED encodings (sentinel INT32_MAX outside each
+            # group's mask): rows 0-7 inlier sample keys, 8-15 neighbor
+            # keys, 16.. recenter-feature encodings under the inlier mask.
+            # Written only for chunks in the step's bbox range; every
+            # later per-step pass reads just that range.
+            pltpu.VMEM(((2 + (n_rec if exact_median else 0)) * 8, p8),
+                       jnp.int32),
         ],
         # the default 16 MB scoped-vmem budget is ~30 KB short at P=16384
         # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has

@@ -52,12 +52,16 @@ def device_mem_mb():
 
 
 def make_room_for_bucket(target_p: int, rng):
-    """(room, RoomFeatures) with the equalized count in (P/2, P].
+    """(room, RoomFeatures, prep_secs) with the equalized count in
+    (P/2, P].
 
     Initial dims from the ~100 pts/m^2 surface model, then up to 4
     corrective redraws scaling the footprint by the measured ratio. The
     accepted draw's features are returned too (host prep costs ~1 s per
-    100k-point room on this 1-core box — don't recompute).
+    100k-point room on this 1-core box — don't recompute); prep_secs is
+    the ACCEPTED room's feature-prep wall time only, so the recorded
+    pts/sec keeps the pipeline timing semantics (prep + grow, no
+    fixture-generation overhead) across rounds.
     """
     area = target_p * 0.75 / 100.0                  # m^2 of surface
     h = 3.0 if target_p <= 32768 else 4.0
@@ -65,11 +69,13 @@ def make_room_for_bucket(target_p: int, rng):
     w = (-4 * h + np.sqrt(16 * h * h + 8 * area)) / 4
     for _ in range(5):
         room = generate_furnished_room(w, w, h, rng)
+        t0 = time.time()
         rf = prepare_room(room[:, :6], room[:, 6], room[:, 7],
                           resolution=0.1)
+        t_prep = time.time() - t0
         eq = len(rf.points)
         if target_p // 2 < eq <= target_p:
-            return room, rf
+            return room, rf, t_prep
         w *= np.sqrt(target_p * 0.75 / eq)
     raise RuntimeError(f"could not calibrate a room for P={target_p}")
 
@@ -87,14 +93,12 @@ def main():
         configs = configs[:2]
     rng = np.random.RandomState(100)
     for target_p, n_rooms in configs:
-        t0 = time.time()
         pairs = [make_room_for_bucket(target_p, rng)
                  for _ in range(n_rooms)]
         rooms = [p[0] for p in pairs]
         feats = [p[1] for p in pairs]
         raw = sum(len(r) for r in rooms)
-        # generation + prep wall time (includes any calibration redraws)
-        t_feat = time.time() - t0
+        t_feat = sum(p[2] for p in pairs)    # accepted rooms' prep only
         eq = sum(len(f.points) for f in feats)
         pmax = max(len(f.points) for f in feats)
         print(f"P={target_p}: {n_rooms} rooms, eq {eq} (max {pmax}), "
@@ -114,9 +118,13 @@ def main():
 
         for name, run in runs.items():
             run()                                    # compile
-            t0 = time.time()
-            res = run()
-            t_grow = time.time() - t0
+            # min-of-3: the tunneled chip's run-to-run variance reaches
+            # 2x (measured); min approximates the contention-free time
+            t_grow = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                res = run()
+                t_grow = min(t_grow, time.time() - t0)
             nmis = [room_metrics(f.obj_id, r.cluster_label)[0].nmi
                     for f, r in zip(feats, res)]
             mem = device_mem_mb()
