@@ -199,9 +199,13 @@ def main():
                                  min_bucket_size=16384)
 
         run_exact()  # warmup/compile
-        t0 = time.time()
-        results = run_exact()
-        t_grow = time.time() - t0
+        # min-of-3: the tunneled chip's run-to-run variance reaches 2x;
+        # min approximates the contention-free time
+        t_grow = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            results = run_exact()
+            t_grow = min(t_grow, time.time() - t0)
         log(f"grow {t_grow:.2f}s (fused={use_fused})")
         log("mean NMI %.3f" % mean_nmi(feats, results))
         if use_fused:
@@ -229,9 +233,11 @@ def main():
     kw = dict(min_bucket_size=16384, num_parallel_seeds=4, tail_seeds=16)
 
     segment_rooms(params, mcfg, feats, gcfg, **kw)  # warmup/compile
-    t0 = time.time()
-    results = segment_rooms(params, mcfg, feats, gcfg, **kw)
-    t_grow = time.time() - t0
+    t_grow = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        results = segment_rooms(params, mcfg, feats, gcfg, **kw)
+        t_grow = min(t_grow, time.time() - t0)
     log(f"grow {t_grow:.2f}s")
     log("mean NMI %.3f" % mean_nmi(feats, results))
 
