@@ -44,7 +44,7 @@ Design notes:
   (docs/pallas_grow_kernel_design.md, "Range-bounded passes").
 
 The kernel supports the standard architecture (lite=None) and
-P <= MAX_FUSED_POINTS = 131072 (VMEM budget: the room block plus scratch is
+P <= MAX_FUSED_POINTS = 262144 (VMEM budget: the room block plus scratch is
 ~22 MB at that size; every per-step temporary is a column-chunked slab, so
 temporaries stay P-independent); callers fall back to the XLA engine above
 the cap.
@@ -67,7 +67,7 @@ _C1 = np.int32(np.uint32(0x85EBCA6B).astype(np.int64) - 2 ** 32)
 _C2 = np.int32(np.uint32(0xC2B2AE35).astype(np.int64) - 2 ** 32)
 _CG = np.int32(np.uint32(0x9E3779B1).astype(np.int64) - 2 ** 32)
 
-MAX_FUSED_POINTS = 131072
+MAX_FUSED_POINTS = 262144
 
 
 def fused_chunk(p8: int) -> int:
@@ -1177,6 +1177,6 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
         # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has
         # headroom above the compiler default
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(seeds, feat, vox, rank, obj, tbl, *weights)

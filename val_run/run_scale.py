@@ -11,7 +11,7 @@ BOTH engines at every size:
 * ``wave``  — the batched XLA lane engine with the relaxed speedups
   (Pallas stratified sampling, 4 parallel seeds, adaptive tail),
 * ``fused`` — the whole-room Pallas kernel, exact reference semantics
-  (chunked scatter keeps per-step VMEM P-independent; cap 131072).
+  (chunked scatter keeps per-step VMEM P-independent; cap 262144).
 
 Records the points/sec + NMI + device-memory curve to
 ``results/scale_curve.txt``.
@@ -88,7 +88,8 @@ def main():
     mcfg = lrgnet.LrgNetConfig(feature_size=13)
     lines = ["# scale curve: padded bucket P, engine, rooms, equalized pts,"
              " raw pts, grow secs, pts/sec, NMI, device MB"]
-    configs = [(16384, 2), (32768, 2), (65536, 2), (131072, 1)]
+    configs = [(16384, 2), (32768, 2), (65536, 2), (131072, 1),
+               (262144, 1)]
     if quick:
         configs = configs[:2]
     rng = np.random.RandomState(100)
