@@ -19,11 +19,18 @@ def main(argv=None):
     ap.add_argument("--resolution", type=float, default=0.1)
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="run the growth simulation as a jitted device "
+                         "program, all rooms in parallel lanes (same "
+                         "semantics; JAX PRNG draws)")
+    ap.add_argument("--samples-cap", type=int, default=4096,
+                    help="--device per-room sample capacity (fixed shapes)")
     args = ap.parse_args(argv)
 
     for area in args.area.split(","):
         stage_area(args.data_dir, area, seed=args.seed,
-                   resolution=args.resolution, verbose=args.verbose)
+                   resolution=args.resolution, verbose=args.verbose,
+                   device=args.device, samples_cap=args.samples_cap)
 
 
 if __name__ == "__main__":

@@ -87,15 +87,25 @@ def simulate_room(rf: RoomFeatures, rng: np.random.RandomState,
                   cluster_threshold: int = 10,
                   max_steps: int = 500,
                   verbose: bool = False,
-                  room_tag: str = ""):
-    """Simulate mistake-injected growth of every instance in one room."""
+                  room_tag: str = "",
+                  seed_order: Optional[np.ndarray] = None,
+                  mistake_probs=None):
+    """Simulate mistake-injected growth of every instance in one room.
+
+    ``seed_order``/``mistake_probs`` override the drawn seed permutation and
+    per-instance mistake probabilities — test hooks for comparing against
+    the device simulator (with probabilities 0 the trajectory is
+    deterministic); defaults preserve the reference's draws.
+    """
     points = rf.points
     obj_id = rf.obj_id
     point_voxels = rf.voxels
     n = len(points)
     visited = np.zeros(n, dtype=bool)
 
-    for seed_id in rng.choice(n, n, replace=False):
+    if seed_order is None:
+        seed_order = rng.choice(n, n, replace=False)
+    for seed_id in seed_order:
         if visited[seed_id]:
             continue
         target_id = obj_id[seed_id]
@@ -107,8 +117,11 @@ def simulate_room(rf: RoomFeatures, rng: np.random.RandomState,
         max_dims = point_voxels[seed_id].copy()
         steps = 0
         stuck = False
-        add_mistake_prob = rng.randint(2, 5) * 0.1
-        remove_mistake_prob = rng.randint(2, 5) * 0.1
+        if mistake_probs is None:
+            add_mistake_prob = rng.randint(2, 5) * 0.1
+            remove_mistake_prob = rng.randint(2, 5) * 0.1
+        else:
+            add_mistake_prob, remove_mistake_prob = mistake_probs
 
         while True:
             neighbor_mask = (
@@ -231,11 +244,23 @@ def area_input_path(data_dir: str, area: str, seed: Optional[int]) -> str:
 
 
 def stage_area(data_dir: str, area: str, seed: Optional[int] = None,
-               resolution: float = 0.1, verbose: bool = False) -> str:
-    """Full ETL for one area: read room H5, simulate, write staged H5."""
+               resolution: float = 0.1, verbose: bool = False,
+               device: bool = False, samples_cap: int = 4096) -> str:
+    """Full ETL for one area: read room H5, simulate, write staged H5.
+
+    ``device=True`` runs the simulation as a jitted device program with all
+    rooms in parallel lanes (``data/device_simulator.py``) instead of the
+    serial host loop; same semantics, JAX PRNG draws.
+    """
     rooms, obj_ids, cls_ids = load_h5_rooms(area_input_path(data_dir, area, seed))
-    samples = stage_rooms(rooms, obj_ids, cls_ids, resolution=resolution,
-                          seed=seed, verbose=verbose)
+    if device:
+        from .device_simulator import stage_rooms_device
+        samples = stage_rooms_device(rooms, obj_ids, cls_ids,
+                                     resolution=resolution, seed=seed,
+                                     verbose=verbose, samples_cap=samples_cap)
+    else:
+        samples = stage_rooms(rooms, obj_ids, cls_ids, resolution=resolution,
+                              seed=seed, verbose=verbose)
     out = staged_output_path(data_dir, area, seed)
     save_staged_h5(out, samples)
     print(f"Staged {samples.num_samples()} samples -> {out}")
