@@ -1,0 +1,121 @@
+"""Producer of the committed flagship checkpoint
+(``models/synthetic_pretrained.npz``).
+
+Round-2 change: MIXED-SCALE training data. The previous checkpoint was
+trained only on scale-0.6 rooms; at real-scene scale (100-200k equalized
+points, ``results/scale_curve.txt``) its inlier coordinates are far out of
+the training distribution and large planar instances fragment (262k bucket:
+NMI 0.68, PRC 0.21, 85 clusters for 26 instances — max_steps was ruled out:
+500 vs 2000 give identical results). The reference trains on real S3DIS
+areas whose rooms span the full size range (``train_region_grow.py`` over
+areas 1-6), so scale diversity is implicit upstream; this script makes it
+explicit for the synthetic pipeline:
+
+* areas 1-3: the committed scale-0.6 box-room shards
+  (``val_run/data_big/multiseed``, unchanged — regenerable with
+  cli/stage_data on s3dis_area{1,2,3}.h5),
+* area 4: LARGE furnished rooms (equalized 40k-110k points, the
+  scale-curve regime) staged by the DEVICE simulator
+  (``data/device_simulator.py``) — host staging of 100k-point rooms is
+  minutes/room on this 1-core box, the device path is ~12s/room.
+
+Area-4 staged shards are ~500 MB total and regenerable, so they are NOT
+committed (see .gitignore); this script recreates them on demand.
+
+Training rooms use RandomState(300) draws — disjoint from the scale-curve
+eval rooms (RandomState(100), ``run_scale.py``) and the bench eval rooms
+(``generate_rooms(seed=42)``, bench.py).
+
+Usage: python val_run/run_pretrain.py [data|train|all]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(BASE, "data_big")
+REPO = os.path.dirname(BASE)
+sys.path.insert(0, REPO)
+
+from learn_region_grow_tpu.engine.grow import enable_compilation_cache
+enable_compilation_cache()
+
+from learn_region_grow_tpu.core import prepare_room
+from learn_region_grow_tpu.data.synthetic import generate_furnished_room
+from learn_region_grow_tpu.utils.io import save_h5_rooms
+
+STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
+# equalized-point targets for the large-room area (buckets 65536/131072)
+AREA4_TARGETS = (40960, 57344, 81920, 110592)
+
+
+def make_large_room(target_eq: int, rng):
+    """Furnished room calibrated so the equalized count lands near
+    ``target_eq`` (same ~100 pts/m^2 surface model as run_scale.py)."""
+    area = target_eq / 100.0
+    h = 4.0
+    w = (-4 * h + np.sqrt(16 * h * h + 8 * area)) / 4
+    for _ in range(5):
+        room = generate_furnished_room(w, w, h, rng)
+        rf = prepare_room(room[:, :6], room[:, 6], room[:, 7],
+                          resolution=0.1)
+        eq = len(rf.points)
+        if 0.7 * target_eq < eq <= 1.3 * target_eq:
+            return room
+        w *= np.sqrt(target_eq / eq)
+    raise RuntimeError(f"could not calibrate a room for eq={target_eq}")
+
+
+def stage_area4():
+    from learn_region_grow_tpu.data.device_simulator import stage_rooms_device
+    from learn_region_grow_tpu.utils.io import save_staged_h5
+
+    room_path = os.path.join(DATA, "s3dis_area4.h5")
+    if not os.path.exists(room_path):
+        rng = np.random.RandomState(300)
+        rooms = [make_large_room(t, rng) for t in AREA4_TARGETS]
+        save_h5_rooms(room_path, rooms)
+        print("generated area4 rooms:", [len(r) for r in rooms], flush=True)
+    from learn_region_grow_tpu.utils.io import load_h5_rooms
+    rooms, objs, clss = load_h5_rooms(room_path)
+
+    for seed in range(4):
+        out = os.path.join(DATA, "multiseed", f"seed{seed}_area4.h5")
+        if os.path.exists(out):
+            continue
+        t0 = time.time()
+        samples = stage_rooms_device(rooms, objs, clss, seed=seed,
+                                     samples_cap=8192, instances_cap=256,
+                                     batch_rooms=4)
+        save_staged_h5(out, samples)
+        print(f"staged seed{seed}_area4: {samples.num_samples()} samples "
+              f"in {time.time() - t0:.0f}s", flush=True)
+
+
+def train():
+    from learn_region_grow_tpu.train.checkpoint import save_checkpoint
+    from learn_region_grow_tpu.train.trainer import TrainConfig, fit
+
+    cfg = TrainConfig(batch_size=100, max_epoch=24, multiseed=4,
+                      data_dir=DATA, models_dir=os.path.join(BASE, "models"))
+    params, summary = fit(cfg, ["1", "2", "3", "4"])
+    out = os.path.join(REPO, "models", "synthetic_pretrained.npz")
+    save_checkpoint(out, params, config={
+        "feature_size": 13, "lite": None,
+        "trained_on": "synthetic mixed-scale: 3x8 box rooms scale=0.6 "
+                      "+ 4 large furnished rooms eq 40k-110k "
+                      "(device-staged), multiseed4",
+        "epochs": cfg.max_epoch,
+    })
+    print("saved", out)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if STAGE in ("all", "data"):
+        stage_area4()
+    if STAGE in ("all", "train"):
+        train()

@@ -27,6 +27,7 @@ import numpy as np
 BASE = os.path.dirname(os.path.abspath(__file__))
 RESULTS = os.path.join(os.path.dirname(BASE), "results")
 os.makedirs(RESULTS, exist_ok=True)
+sys.path.insert(0, os.path.dirname(BASE))
 
 import jax
 
