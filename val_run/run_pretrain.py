@@ -48,8 +48,9 @@ from learn_region_grow_tpu.data.synthetic import generate_furnished_room
 from learn_region_grow_tpu.utils.io import save_h5_rooms
 
 STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
-# equalized-point targets for the large-room area (buckets 65536/131072)
-AREA4_TARGETS = (40960, 57344, 81920, 110592)
+# equalized-point targets for the large-room area (buckets 65536..262144 —
+# spans the whole scale-curve regime incl. the top bucket)
+AREA4_TARGETS = (40960, 57344, 81920, 110592, 143360, 188416)
 
 
 def make_large_room(target_eq: int, rng):
