@@ -5,6 +5,7 @@ synthetic areas; writes results/synthetic/area5_*.txt logs."""
 import os, sys, time, io
 
 BASE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(BASE))
 DATA = os.path.join(BASE, "data")
 MODELS = os.path.join(BASE, "models")
 RESULTS = os.path.join(os.path.dirname(BASE), "results", "synthetic")

@@ -5,6 +5,7 @@ reference's results tree."""
 import os, sys, time, io
 
 BASE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(BASE))
 DATA = os.path.join(BASE, "data")
 MODELS = os.path.join(BASE, "models")
 RESULTS = os.path.join(os.path.dirname(BASE), "results", "synthetic")
@@ -62,7 +63,10 @@ if STAGE in ("all", "pointnet"):
         capture("train_%s" % mode,
                 lambda m=mode: train_pointnet.main(
                     ["--mode", m, "--train-area", "1,2", "--val-area", "5",
-                     "--epochs", "30", "--batch-size", "16",
+                     # 30 epochs left val cls acc at 0.64 (plateaued vs the
+                     # reference's real-data budget); 90 reaches 0.78 and
+                     # lifts CC NMI 0.56 -> 0.72 ~= the reference's 0.73
+                     "--epochs", "90", "--batch-size", "16",
                      "--data-dir", DATA, "--models-dir", MODELS]))
         capture("area5_%s" % mode,
                 lambda m=mode: bm.main(["--mode", m, "--area", "5",

@@ -10,6 +10,7 @@ import os, sys, time, contextlib, io, subprocess
 import numpy as np
 
 BASE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(BASE))
 DATA = os.path.join(BASE, "data")
 MODELS = os.path.join(BASE, "models")
 RESULTS = os.path.join(os.path.dirname(BASE), "results", "synthetic")
