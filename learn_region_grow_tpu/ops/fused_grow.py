@@ -715,33 +715,63 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             off = off + jnp.where(row16 == fr, med[g, 0], 0.0)
         return off
 
-    def sampled_median_offset(gathered):
-        """(16, 1) offset from the 512 SAMPLED inliers (fast mode)."""
-        enc = sortable_encode(gathered)                     # (16, k)
-        lo_r = jnp.int32((k - 1) // 2 + 1)
-        hi_r = jnp.int32(k // 2 + 1)
-
-        def stat(rank):
-            def body(_, carry):
-                lo, hi = carry                              # (16, 1)
-                mid = _midpoint(lo, hi)
-                c = jnp.sum((enc <= mid).astype(jnp.int32), axis=1,
-                            keepdims=True)
-                take = c >= rank
-                return (jnp.where(take, lo, mid + 1),
-                        jnp.where(take, mid, hi))
-            lo, hi = jax.lax.fori_loop(
-                0, 33, body, (jnp.full((16, 1), -2 ** 31, jnp.int32),
-                              jnp.full((16, 1), 2 ** 31 - 1, jnp.int32)))
-            return lo
-        med = 0.5 * (sortable_decode(stat(lo_r)) + sortable_decode(stat(hi_r)))
+    def _rec_rows_mask():
         row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         rec = jnp.zeros((16, 1), dtype=bool)
         for fr in rec_rows:
             rec = rec | (row16 == fr)
-        return jnp.where(rec, med, 0.0)
+        return rec
+
+    def _bisect16_pair(enc, lo_r, hi_r):
+        """Both median order statistics of each (16, k) row in ONE stacked
+        33-pass bisection. A per-pass fori iteration costs ~2.4 us of loop
+        overhead regardless of vector width (measured: two separate
+        33-pass loops made fast mode SLOWER than the fused slab
+        bisection), so the lower/upper stats bisect as 32 stacked rows."""
+        enc2 = jnp.concatenate([enc, enc], axis=0)          # (32, k)
+        half = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) < 16
+        ranks = jnp.where(half, lo_r, hi_r)
+
+        def body(_, carry):
+            lo, hi = carry                                  # (32, 1)
+            mid = _midpoint(lo, hi)
+            c = jnp.sum((enc2 <= mid).astype(jnp.int32), axis=1,
+                        keepdims=True)
+            take = c >= ranks
+            return (jnp.where(take, lo, mid + 1),
+                    jnp.where(take, mid, hi))
+
+        v, _ = jax.lax.fori_loop(
+            0, 33, body, (jnp.full((32, 1), -2 ** 31, jnp.int32),
+                          jnp.full((32, 1), 2 ** 31 - 2, jnp.int32)))
+        return v[0:16], v[16:32]
+
+    def sampled_median_offset(gathered):
+        """(16, 1) offset from the 512 SAMPLED inliers (fast mode)."""
+        enc = sortable_encode(gathered)                     # (16, k)
+        v_lo, v_hi = _bisect16_pair(enc, jnp.int32((k - 1) // 2 + 1),
+                                    jnp.int32(k // 2 + 1))
+        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
+        return jnp.where(_rec_rows_mask(), med, 0.0)
 
     IMAX = jnp.int32(2 ** 31 - 1)
+
+    def gathered_median_offset(gathered, cnt):
+        """(16, 1) recenter offset, EXACT, for the cur_cnt <= k case.
+
+        ``sample_targets`` fills slots [0, cnt) with ranks 1..cnt in
+        natural order when cnt <= k, so the gathered block holds every
+        current point exactly once there (fills beyond are duplicates).
+        Masking the fill slots to the sentinel makes the full-mask order
+        statistics computable from the (16, k) block in VMEM — the same
+        multiset of f32 values the slab path encodes, hence bit-identical
+        medians — without any slab pass."""
+        enc = sortable_encode(gathered)                     # (16, k)
+        slot_ok = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) < cnt
+        enc = jnp.where(slot_ok, enc, IMAX)
+        v_lo, v_hi = _bisect16_pair(enc, (cnt - 1) // 2 + 1, cnt // 2 + 1)
+        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
+        return jnp.where(_rec_rows_mask(), med, 0.0)
 
     def inner_body(carry):
         (done, steps, stuck, min_x, min_y, min_z, max_x, max_y, max_z,
@@ -849,11 +879,27 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             return (jnp.where(take, lo_, mid + 1),
                     jnp.where(take, mid, hi_))
 
-        # hi0 = IMAX-1 keeps every probe mid strictly below the sentinel
-        kth, _ = jax.lax.fori_loop(
-            0, 33, bis_body,
-            (jnp.full((g_all, 1), -2 ** 31, jnp.int32),
-             jnp.full((g_all, 1), 2 ** 31 - 2, jnp.int32)))
+        # SMALL-STEP SKIP: when both candidate sets fit in k, the sample
+        # thresholds are degenerate (IMAX-1 selects the whole mask) and
+        # the exact medians are computable from the gathered block
+        # (gathered_median_offset) — the entire slab bisection is dead
+        # work. Early growth and sub-k instances take this branch, which
+        # replaces 33 range-slab passes (each ~2 MXU dots + a slab scan)
+        # with one stacked (32, k) in-register bisection.
+        small = (cur_cnt <= k) & (nb_cnt <= k)
+
+        def _run_bis(_):
+            # hi0 = IMAX-1 keeps every probe mid strictly below the
+            # sentinel
+            out, _hi = jax.lax.fori_loop(
+                0, 33, bis_body,
+                (jnp.full((g_all, 1), -2 ** 31, jnp.int32),
+                 jnp.full((g_all, 1), 2 ** 31 - 2, jnp.int32)))
+            return out
+
+        kth = jax.lax.cond(
+            small, lambda _: jnp.full((g_all, 1), IMAX - 1, jnp.int32),
+            _run_bis, 0)
         # cnt <= k selects the whole mask: IMAX-1 admits every non-sentinel
         thr_in = jnp.where(cur_cnt <= k, IMAX - 1, kth[0, 0])
         thr_nb = jnp.where(nb_cnt <= k, IMAX - 1, kth[1, 0])
@@ -864,7 +910,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                          b_nb, cmin, cmax, smin, smax)
 
         if exact_median:
-            off = median_offset_from(kth[2:, :], cur_cnt, smin, smax)
+            off = jax.lax.cond(
+                small,
+                lambda _: gathered_median_offset(g_in, cur_cnt),
+                lambda _: median_offset_from(kth[2:, :], cur_cnt,
+                                             smin, smax), 0)
         else:
             off = sampled_median_offset(g_in)
         x_in = g_in - off
