@@ -117,6 +117,11 @@ def main():
         runs["fused"] = lambda: segment_rooms_fused(
             params, mcfg, feats, gcfg_f, min_bucket_size=target_p,
             max_instances=1024)
+        # relaxed fused mode: medians from the 512 sampled inliers
+        # (sampled_median_offset) instead of the exact full-mask bisection
+        runs["fusedF"] = lambda: segment_rooms_fused(
+            params, mcfg, feats, gcfg_f, min_bucket_size=target_p,
+            max_instances=1024, exact_median=False)
 
         for name, run in runs.items():
             run()                                    # compile
