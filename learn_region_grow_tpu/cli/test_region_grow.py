@@ -152,7 +152,7 @@ def main(argv=None):
     ap.add_argument("--fused", action="store_true",
                     help="fused whole-room Pallas kernel: exact reference "
                          "semantics, zero host round-trips (TPU; rooms "
-                         "<= 262144 padded points)")
+                         "<= 524288 padded points)")
     ap.add_argument("--device-prep", action="store_true",
                     help="run feature prep (equalize/normals/curvature) as "
                          "one jitted device program (core/device_features). "

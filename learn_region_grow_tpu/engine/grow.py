@@ -811,7 +811,7 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
 
     Constraints (falls back is the caller's job): standard architecture
     (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 16,
-    rooms <= ``fused_grow.MAX_FUSED_POINTS`` (262144) padded points (VMEM
+    rooms <= ``fused_grow.MAX_FUSED_POINTS`` (524288) padded points (VMEM
     budget; per-step temporaries are column-chunked so only the room block
     itself scales with P).
     """

@@ -44,10 +44,11 @@ Design notes:
   (docs/pallas_grow_kernel_design.md, "Range-bounded passes").
 
 The kernel supports the standard architecture (lite=None) and
-P <= MAX_FUSED_POINTS = 262144 (VMEM budget: the room block plus scratch is
-~22 MB at that size; every per-step temporary is a column-chunked slab, so
-temporaries stay P-independent); callers fall back to the XLA engine above
-the cap.
+P <= MAX_FUSED_POINTS = 524288 (the v5e 128 MB VMEM budget: the room block
+— features 32 MB, voxels/ranks/obj 10 MB, feature encodings 19 MB, masks
+10 MB — plus weights and slab temporaries lands at ~115 MB at that size;
+every per-step temporary is a column-chunked slab, so temporaries stay
+P-independent); callers fall back to the XLA engine above the cap.
 """
 
 from __future__ import annotations
@@ -67,7 +68,7 @@ _C1 = np.int32(np.uint32(0x85EBCA6B).astype(np.int64) - 2 ** 32)
 _C2 = np.int32(np.uint32(0xC2B2AE35).astype(np.int64) - 2 ** 32)
 _CG = np.int32(np.uint32(0x9E3779B1).astype(np.int64) - 2 ** 32)
 
-MAX_FUSED_POINTS = 262144
+MAX_FUSED_POINTS = 524288
 
 
 def fused_chunk(p8: int) -> int:
@@ -674,7 +675,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         is recovered with ONE bounded pass instead of a second 33-pass
         bisection: if count(enc <= v_lo) >= hi_r the upper statistic IS
         v_lo (duplicates), else it is the smallest masked value > v_lo.
-        Reads the inlier-masked encodings from ``enc_all`` rows 16.. —
+        Reads ``enc_s`` masked with the current mask on the fly —
         sentinel slots (INT32_MAX) never satisfy ``<= v_lo`` and survive
         the ``> v_lo`` min as the same sentinel the old full pass used."""
         hi_r = cnt // 2 + 1
@@ -688,7 +689,13 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         def acc(s, carry):
             cle, rmin = carry
-            slab = enc_all_s[pl.ds(16, n_rec * 8), pl.ds(s * sw, sw)]
+            lo = s * sw
+            curt = jnp.concatenate(
+                [current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0] * n_rec,
+                axis=0)
+            slab = jnp.where(
+                curt, enc_s[pl.ds(0, n_rec * 8), pl.ds(lo, sw)],
+                jnp.int32(2 ** 31 - 1))
             cle = cle + jnp.sum((slab <= v_lo_rows).astype(jnp.float32),
                                 axis=1, keepdims=True)
             gt = jnp.where(slab > v_lo_rows, slab, jnp.int32(2 ** 31 - 1))
@@ -802,8 +809,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         # --- prepare pass: masked encodings + counts (branch-free) --------
         # enc_all rows: [0:8] inlier sample keys under the current mask,
-        # [8:16] neighbor keys under the bbox-neighbor mask, [16:] recenter
-        # encodings under the current mask; sentinel IMAX elsewhere. Keys
+        # [8:16] neighbor keys under the bbox-neighbor mask; sentinel IMAX
+        # elsewhere. Keys
         # clamp to IMAX-1 so a (2^-31-probability) key equal to the
         # sentinel cannot alias a masked-out slot. y/z-missing chunks in
         # the x range write pure sentinel (their per-point masks are
@@ -829,11 +836,10 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 curs, ki, IMAX)
             enc_all_s[pl.ds(8, 8), pl.ds(lo, sw)] = jnp.where(
                 nbs, kn, IMAX)
-            if exact_median:
-                es = enc_s[pl.ds(0, n_rec * 8), pl.ds(lo, sw)]
-                curt = jnp.concatenate([curs] * n_rec, axis=0)
-                enc_all_s[pl.ds(16, n_rec * 8), pl.ds(lo, sw)] = (
-                    jnp.where(curt, es, IMAX))
+            # recenter encodings are NOT materialized: the bisection and
+            # median passes mask enc_s with current_s on the fly, saving
+            # an (n_rec*8, P8) VMEM slab (19 MB at P=524288 — the block
+            # that used to push the 512k bucket past the 128 MB budget)
             return c + jnp.sum(jnp.concatenate([curs, nbs], axis=0)
                                .astype(jnp.int32), axis=1, keepdims=True)
 
@@ -865,9 +871,21 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             mid_rows = spread_all(mid)
 
             def acc(s, rc):
-                slab = enc_all_s[pl.ds(0, g_all * 8), pl.ds(s * sw, sw)]
-                return rc + jnp.sum((slab <= mid_rows).astype(jnp.float32),
-                                    axis=1, keepdims=True)
+                lo = s * sw
+                keys = enc_all_s[pl.ds(0, 16), pl.ds(lo, sw)]
+                ck = jnp.sum((keys <= mid_rows[0:16]).astype(jnp.float32),
+                             axis=1, keepdims=True)
+                if exact_median:
+                    curt = jnp.concatenate(
+                        [current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0]
+                        * n_rec, axis=0)
+                    em = jnp.where(
+                        curt, enc_s[pl.ds(0, n_rec * 8), pl.ds(lo, sw)],
+                        IMAX)
+                    cm = jnp.sum((em <= mid_rows[16:]).astype(jnp.float32),
+                                 axis=1, keepdims=True)
+                    ck = jnp.concatenate([ck, cm], axis=0)
+                return rc + ck
 
             rcounts = jax.lax.fori_loop(
                 smin, smax + 1, acc,
@@ -1215,18 +1233,18 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             pltpu.VMEM((8, p8), jnp.int32),     # sampling selection mask
             pltpu.VMEM((8, p8), jnp.int32),     # prefix ranks
             pltpu.VMEM((n_rec * 8, p8), jnp.int32),   # sortable feat enc
-            # per-step MASKED encodings (sentinel INT32_MAX outside each
-            # group's mask): rows 0-7 inlier sample keys, 8-15 neighbor
-            # keys, 16.. recenter-feature encodings under the inlier mask.
+            # per-step MASKED sample keys (sentinel INT32_MAX outside each
+            # group's mask): rows 0-7 inlier keys, 8-15 neighbor keys.
             # Written only for chunks in the step's bbox range; every
-            # later per-step pass reads just that range.
-            pltpu.VMEM(((2 + (n_rec if exact_median else 0)) * 8, p8),
-                       jnp.int32),
+            # later per-step pass reads just that range. Recenter-feature
+            # encodings are read straight from enc_s with the current
+            # mask applied on the fly (no materialized copy).
+            pltpu.VMEM((16, p8), jnp.int32),
         ],
         # the default 16 MB scoped-vmem budget is ~30 KB short at P=16384
         # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has
-        # headroom above the compiler default
+        # 128 MB of VMEM and the P=524288 bucket needs ~115 MB of it
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
     )(seeds, feat, vox, rank, obj, tbl, *weights)
