@@ -48,9 +48,10 @@ from learn_region_grow_tpu.data.synthetic import generate_furnished_room
 from learn_region_grow_tpu.utils.io import save_h5_rooms
 
 STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
-# equalized-point targets for the large-room area (buckets 65536..262144 —
-# spans the whole scale-curve regime incl. the top bucket)
-AREA4_TARGETS = (40960, 57344, 81920, 110592, 143360, 188416)
+# equalized-point targets for the large-room area (buckets 65536..524288 —
+# spans the whole scale-curve regime up to the fused kernel's cap)
+AREA4_TARGETS = (40960, 57344, 81920, 110592, 143360, 188416,
+                 253952, 317440)
 
 
 def make_large_room(target_eq: int, rng):
@@ -88,9 +89,12 @@ def stage_area4():
         if os.path.exists(out):
             continue
         t0 = time.time()
+        # batch_rooms=1: a multi-lane 262k-bucket program runs past the
+        # tunnel worker's tolerance (~10 min -> worker crash, observed
+        # twice); one room per program keeps each execute under ~2 min
         samples = stage_rooms_device(rooms, objs, clss, seed=seed,
                                      samples_cap=8192, instances_cap=256,
-                                     batch_rooms=4)
+                                     batch_rooms=1)
         save_staged_h5(out, samples)
         print(f"staged seed{seed}_area4: {samples.num_samples()} samples "
               f"in {time.time() - t0:.0f}s", flush=True)
