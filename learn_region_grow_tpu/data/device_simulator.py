@@ -342,8 +342,14 @@ def simulate_rooms_device(feats: Sequence[RoomFeatures],
                                   cluster_threshold=cluster_threshold,
                                   max_steps=max_steps,
                                   stratified=stratified)
-        for lo in range(0, len(ids), batch_rooms):
-            grp = ids[lo:lo + batch_rooms]
+        # Bound the padded points per device program: vmapped lanes multiply
+        # per-iteration work, and a single execute running ~10 min crashes
+        # the remote TPU worker (observed at 3 lanes x 262144;
+        # docs/tpu_pitfalls.md). 512k padded points per program keeps the
+        # largest batches under ~2 minutes.
+        eff_batch = max(1, min(batch_rooms, (1 << 19) // psize))
+        for lo in range(0, len(ids), eff_batch):
+            grp = ids[lo:lo + eff_batch]
             g = len(grp)
             voxels = np.full((g, psize, 3), 2 ** 30, np.int32)
             obj = np.full((g, psize), -1, np.int32)

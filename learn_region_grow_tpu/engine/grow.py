@@ -844,7 +844,18 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                _fg.pack_lrgnet_weights(params, cfg.feature_size)]
     results: List[Optional[RoomResult]] = [None] * len(rooms)
 
-    for psize, room_ids in sorted(buckets.items()):
+    # Bound the padded points per device program: the kernel's grid
+    # iterates rooms sequentially, and a single XLA execute that runs too
+    # long (~10 min) crashes the remote TPU worker (docs/tpu_pitfalls.md).
+    # 2M padded points/call keeps the largest batches to ~tens of seconds
+    # while leaving typical eval sets (e.g. 12 x 16k) in one program.
+    split_buckets = []
+    for psize, ids in sorted(buckets.items()):
+        cap = max(dp, (2 << 20) // psize // dp * dp)
+        for lo in range(0, len(ids), cap):
+            split_buckets.append((psize, ids[lo:lo + cap]))
+
+    for psize, room_ids in split_buckets:
         t_setup = time.time()
         g = len(room_ids)
         gp = -(-g // dp) * dp       # padded room count (inert tail rooms)
