@@ -27,7 +27,7 @@ import dataclasses
 import functools
 import time
 from functools import partial
-from typing import Dict, List, NamedTuple, Optional
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -786,6 +786,26 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
     return results  # type: ignore[return-value]
 
 
+def _split_program_batches(buckets: Dict[int, List[int]], dp: int,
+                           budget: int = 2 << 20
+                           ) -> List[Tuple[int, List[int]]]:
+    """Split each bucket's room list into dp-aligned chunks of at most
+    ``budget`` padded points per device program.
+
+    The fused kernel's grid iterates rooms sequentially, and a single XLA
+    execute that runs too long (~10 min) crashes the remote TPU worker
+    (docs/tpu_pitfalls.md); 2M padded points/call keeps the largest
+    batches to ~tens of seconds while typical eval sets (e.g. 12 x 16k)
+    stay in one program. With ``dp`` devices the per-device grid is
+    rooms/dp, so the cap scales by ``dp`` (and is never below it)."""
+    out: List[Tuple[int, List[int]]] = []
+    for psize, ids in sorted(buckets.items()):
+        cap = max(dp, budget // psize // dp * dp)
+        for lo in range(0, len(ids), cap):
+            out.append((psize, ids[lo:lo + cap]))
+    return out
+
+
 def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         rooms: List[RoomFeatures], cfg: GrowConfig,
                         min_bucket_size: int = 1024,
@@ -844,18 +864,7 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                _fg.pack_lrgnet_weights(params, cfg.feature_size)]
     results: List[Optional[RoomResult]] = [None] * len(rooms)
 
-    # Bound the padded points per device program: the kernel's grid
-    # iterates rooms sequentially, and a single XLA execute that runs too
-    # long (~10 min) crashes the remote TPU worker (docs/tpu_pitfalls.md).
-    # 2M padded points/call keeps the largest batches to ~tens of seconds
-    # while leaving typical eval sets (e.g. 12 x 16k) in one program.
-    split_buckets = []
-    for psize, ids in sorted(buckets.items()):
-        cap = max(dp, (2 << 20) // psize // dp * dp)
-        for lo in range(0, len(ids), cap):
-            split_buckets.append((psize, ids[lo:lo + cap]))
-
-    for psize, room_ids in split_buckets:
+    for psize, room_ids in _split_program_batches(buckets, dp):
         t_setup = time.time()
         g = len(room_ids)
         gp = -(-g // dp) * dp       # padded room count (inert tail rooms)

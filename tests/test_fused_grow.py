@@ -182,3 +182,24 @@ def test_fused_segment_matches_engine_quality(tiny_rooms, trained):
     res_f2 = segment_rooms_fused(params, mcfg, [rf], gcfg,
                                  max_instances=128, interpret=True)[0]
     np.testing.assert_array_equal(res_f.cluster_label, res_f2.cluster_label)
+
+
+def test_split_program_batches_bounds_and_covers():
+    """Per-program padded-point budget: dp-aligned chunks, full coverage,
+    order preserved (the tunnel worker kills ~10-min executes)."""
+    from learn_region_grow_tpu.engine.grow import _split_program_batches
+
+    buckets = {16384: list(range(12)), 524288: list(range(100, 110)),
+               262144: [50]}
+    for dp in (1, 8):
+        out = _split_program_batches(buckets, dp)
+        # coverage + order within each bucket
+        for psize, ids in buckets.items():
+            got = [i for ps, chunk in out if ps == psize for i in chunk]
+            assert got == ids
+        # budget respected (up to dp-alignment minimum)
+        for psize, chunk in out:
+            assert len(chunk) <= max(dp, (2 << 20) // psize // dp * dp)
+    # a 100-room 524288 bucket cannot land in one program at dp=1
+    big = _split_program_batches({524288: list(range(100))}, 1)
+    assert all(len(c) <= 4 for _, c in big) and len(big) == 25
