@@ -132,3 +132,32 @@ def test_batch_width_does_not_change_output(small_rooms):
     assert np.array_equal(a.points, b.points)
     assert np.array_equal(a.add, b.add)
     assert np.array_equal(a.steps, b.steps)
+
+
+def test_stage_data_cli_device_flag(small_rooms, tmp_path):
+    """End-to-end: `stage_data --device` writes a loadable staged H5 with
+    the same schema and instance count as the host path."""
+    import os
+
+    from learn_region_grow_tpu.cli import stage_data
+    from learn_region_grow_tpu.utils.io import load_staged_h5, save_h5_rooms
+
+    rooms, objs, clss = small_rooms
+    eight = [np.column_stack([rooms[i], objs[i][:, None], clss[i][:, None]])
+             for i in range(len(rooms))]
+    save_h5_rooms(str(tmp_path / "synthetic_t.h5"), eight)
+
+    stage_data.main(["--area", "synthetic_t", "--device",
+                     "--data-dir", str(tmp_path), "--samples-cap", "1024"])
+    out = tmp_path / "staged_synthetic_t.h5"
+    assert os.path.exists(out)
+    dev = load_staged_h5(str(out))
+
+    stage_data.main(["--area", "synthetic_t", "--data-dir", str(tmp_path)])
+    host = load_staged_h5(str(out))
+
+    n_inst = sum(len(np.unique(o)) for o in objs)
+    assert len(dev.steps) == len(host.steps) == n_inst
+    # distribution-equivalent PRNG: sample counts in the same ballpark
+    assert abs(dev.num_samples() - host.num_samples()) \
+        <= 0.25 * host.num_samples()
