@@ -199,10 +199,11 @@ def main():
                                  min_bucket_size=16384)
 
         run_exact()  # warmup/compile
-        # min-of-3: the tunneled chip's run-to-run variance reaches 2x;
-        # min approximates the contention-free time
+        # min-of-5: the tunneled chip's run-to-run variance reaches 2x;
+        # min approximates the contention-free time (each run ~1 s, so the
+        # extra repeats cost seconds and buy a stabler recorded headline)
         t_grow = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             results = run_exact()
             t_grow = min(t_grow, time.time() - t0)
