@@ -84,17 +84,30 @@ def run_area(area: str, args) -> list:
                       resolution=args.resolution,
                       cluster_threshold=args.cluster_threshold,
                       seed=args.seed, pallas_sampling=args.fast)
+    def run_grow(verbose):
+        if args.fused:
+            from ..engine.grow import segment_rooms_fused
+            return segment_rooms_fused(params, mcfg, feats, gcfg,
+                                       verbose=verbose)
+        return segment_rooms(params, mcfg, feats, gcfg, verbose=verbose,
+                             num_parallel_seeds=args.parallel_seeds,
+                             tail_seeds=args.tail_seeds)
+
+    # warm timing by default: first-touch XLA/Pallas compiles through the
+    # remote tunnel take tens of seconds and misrepresent the engine ~20x
+    # in the checked-in pts/s records; the warmup run also prints the
+    # verbose per-instance lines (trajectories are seed-deterministic, so
+    # the timed re-run reproduces them)
+    t_cold = 0.0
+    if args.warmup:
+        t_cold = time.time()
+        run_grow(args.verbose)
+        t_cold = time.time() - t_cold
     t_grow = time.time()
-    if args.fused:
-        from ..engine.grow import segment_rooms_fused
-        results = segment_rooms_fused(params, mcfg, feats, gcfg,
-                                      verbose=args.verbose)
-    else:
-        results = segment_rooms(params, mcfg, feats, gcfg,
-                                verbose=args.verbose,
-                                num_parallel_seeds=args.parallel_seeds,
-                                tail_seeds=args.tail_seeds)
+    results = run_grow(args.verbose and not args.warmup)
     t_grow = time.time() - t_grow
+    if args.warmup:
+        print("grow cold (compile+run) %.2fs, warm %.2fs" % (t_cold, t_grow))
 
     t_post = time.time()
     all_metrics = []
@@ -166,6 +179,9 @@ def main(argv=None):
     ap.add_argument("--parallel-seeds", type=int, default=1,
                     help=">1 grows several separated seeds per room per "
                          "wave (priority commit; ~Kx faster, validate NMI)")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    help="skip the untimed warmup run (timing will include "
+                         "cold compiles)")
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--models-dir", default="models")
     ap.add_argument("--model", default=None,

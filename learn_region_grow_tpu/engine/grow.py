@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 import time
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Tuple
@@ -797,10 +798,11 @@ def _split_program_batches(buckets: Dict[int, List[int]], dp: int,
     (docs/tpu_pitfalls.md); 2M padded points/call keeps the largest
     batches to ~tens of seconds while typical eval sets (e.g. 12 x 16k)
     stay in one program. With ``dp`` devices the per-device grid is
-    rooms/dp, so the cap scales by ``dp`` (and is never below it)."""
+    rooms/dp, so the cap scales by ``dp`` (and is never below it): each
+    device sees at most ~``budget`` padded points per program."""
     out: List[Tuple[int, List[int]]] = []
     for psize, ids in sorted(buckets.items()):
-        cap = max(dp, budget // psize // dp * dp)
+        cap = max(dp, budget // psize * dp)
         for lo in range(0, len(ids), cap):
             out.append((psize, ids[lo:lo + cap]))
     return out
@@ -813,7 +815,9 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         exact_median: bool = True,
                         interpret: bool = False,
                         mesh=None,
-                        verbose: bool = False) -> List[RoomResult]:
+                        verbose: bool = False,
+                        truncation_warnings: bool = True
+                        ) -> List[RoomResult]:
     """Segment rooms with the fused whole-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
     seed pick in curvature order, grow-to-termination, visited/cluster
@@ -920,13 +924,15 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
             # maps original point index -> flat slot
             lbl = labels[gi].reshape(-1)[restores[gi]].astype(int)
             n_inst = int(counters[gi, 0, 1])
-            if n_inst > max_instances:
+            if n_inst > max_instances and truncation_warnings:
                 # the kernel seeds to full coverage regardless (reference
-                # semantics) but only the first max_instances get log rows
+                # semantics) but only the first max_instances get log rows.
+                # stderr: stdout carries only reference-parity metric lines
+                # that results/*.txt parsers consume
                 print(f"warning: room {ri} grew {n_inst} instances; "
                       f"per-instance log truncated to {max_instances} rows "
                       f"(labels are complete; raise max_instances for full "
-                      f"step counts)")
+                      f"step counts)", file=sys.stderr)
             inst_logs = []
             for row in logs[gi, :min(n_inst, max_instances)]:
                 rec = {

@@ -238,16 +238,23 @@ def select_mask(keys: jnp.ndarray, mask: jnp.ndarray, cnt: jnp.ndarray,
 
 
 def forward_confidences_t(w: List[jnp.ndarray], x_in: jnp.ndarray,
-                          x_nb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          x_nb: jnp.ndarray, gb: int = 1
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Transposed-space LrgNet forward.
 
-    x_in/x_nb (16, k) f32 (rows >= F zero). ``w`` is the packed weight list
-    (see ``pack_lrgnet_weights``). Returns (add_conf (1, k), rmv_conf (1, k))
-    — per-slot P(add=1)/P(remove=1), identical to softmax(logits)[:, 1] of
-    ``models.lrgnet.forward`` (the tiled-global head is algebraically
-    refactored into a matvec bias; same arithmetic result).
+    x_in/x_nb (16, gb*k) f32 (rows >= F zero; ``gb`` independent regions
+    column-concatenated — the max-pool and the pooled-global head bias are
+    per-region column blocks, everything else is per-slot so one wide MXU
+    matmul serves all regions; per-column results are bit-identical to gb
+    separate calls). ``w`` is the packed weight list
+    (see ``pack_lrgnet_weights``). Returns (add_conf (1, gb*k),
+    rmv_conf (1, gb*k)) — per-slot P(add=1)/P(remove=1), identical to
+    softmax(logits)[:, 1] of ``models.lrgnet.forward`` (the tiled-global
+    head is algebraically refactored into a matvec bias; same arithmetic
+    result).
     """
     (in_w, nb_w, add_h, rmv_h, biases) = w
+    k = x_in.shape[1] // gb
 
     def branch(ws, boff, x):
         skip = None
@@ -262,8 +269,13 @@ def forward_confidences_t(w: List[jnp.ndarray], x_in: jnp.ndarray,
 
     feat_in, skip_in = branch(in_w, 0, x_in)
     feat_nb, skip_nb = branch(nb_w, 5, x_nb)
-    pooled_in = jnp.max(feat_in, axis=1, keepdims=True)      # (512, 1)
-    pooled_nb = jnp.max(feat_nb, axis=1, keepdims=True)
+    # per-region max-pool over each k-column block -> (512, gb)
+    pooled_in = jnp.concatenate(
+        [jnp.max(feat_in[:, g * k:(g + 1) * k], axis=1, keepdims=True)
+         for g in range(gb)], axis=1)
+    pooled_nb = jnp.concatenate(
+        [jnp.max(feat_nb[:, g * k:(g + 1) * k], axis=1, keepdims=True)
+         for g in range(gb)], axis=1)
 
     def head(h, boff, skip):
         wg_in, wg_nb, ws, w1, w2 = h
@@ -272,9 +284,13 @@ def forward_confidences_t(w: List[jnp.ndarray], x_in: jnp.ndarray,
                             preferred_element_type=jnp.float32)
                     + jnp.dot(wg_nb, pooled_nb,
                               preferred_element_type=jnp.float32) + b0)
+        # broadcast each region's (256, 1) bias over its k columns
+        bias_cols = jnp.concatenate(
+            [jnp.broadcast_to(bias_tot[:, g:g + 1], (ws.shape[0], k))
+             for g in range(gb)], axis=1)
         h1 = jnp.maximum(jnp.dot(ws, skip,
                                  preferred_element_type=jnp.float32)
-                         + bias_tot, 0.0)
+                         + bias_cols, 0.0)
         b1 = biases[0:w1.shape[0], boff + 1:boff + 2]
         h2 = jnp.maximum(jnp.dot(w1, h1,
                                  preferred_element_type=jnp.float32) + b1, 0.0)
@@ -734,7 +750,14 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         33-pass bisection. A per-pass fori iteration costs ~2.4 us of loop
         overhead regardless of vector width (measured: two separate
         33-pass loops made fast mode SLOWER than the fused slab
-        bisection), so the lower/upper stats bisect as 32 stacked rows."""
+        bisection), so the lower/upper stats bisect as 32 stacked rows.
+
+        hi0 = 2**31 - 2 is safe because every encoding bisected here is
+        strictly below INT32_MAX: sortable encodings of FINITE f32
+        features reach INT32_MAX only for a NaN payload, which
+        ``prepare_room`` never produces, and fill-slot sentinels clamp to
+        IMAX (handled by the rank bound) — same invariant as the slab
+        bisection's hi0 (see inner_body's "hi0 = IMAX-1" note)."""
         enc2 = jnp.concatenate([enc, enc], axis=0)          # (32, k)
         half = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) < 16
         ranks = jnp.where(half, lo_r, hi_r)

@@ -197,9 +197,10 @@ def test_split_program_batches_bounds_and_covers():
         for psize, ids in buckets.items():
             got = [i for ps, chunk in out if ps == psize for i in chunk]
             assert got == ids
-        # budget respected (up to dp-alignment minimum)
+        # per-DEVICE budget respected (up to dp-alignment minimum): each
+        # device sees at most ~budget padded points per program
         for psize, chunk in out:
-            assert len(chunk) <= max(dp, (2 << 20) // psize // dp * dp)
+            assert len(chunk) <= max(dp, (2 << 20) // psize * dp)
     # a 100-room 524288 bucket cannot land in one program at dp=1
     big = _split_program_batches({524288: list(range(100))}, 1)
     assert all(len(c) <= 4 for _, c in big) and len(big) == 25

@@ -108,11 +108,14 @@ def train():
                       data_dir=DATA, models_dir=os.path.join(BASE, "models"))
     params, summary = fit(cfg, ["1", "2", "3", "4"])
     out = os.path.join(REPO, "models", "synthetic_pretrained.npz")
+    trained_on = (
+        "synthetic mixed-scale: 3x8 box rooms scale=0.6 + %d large "
+        "furnished rooms eq %dk-%dk (device-staged), multiseed%d" % (
+            len(AREA4_TARGETS), round(min(AREA4_TARGETS) / 1024),
+            round(max(AREA4_TARGETS) / 1024), cfg.multiseed))
     save_checkpoint(out, params, config={
         "feature_size": 13, "lite": None,
-        "trained_on": "synthetic mixed-scale: 3x8 box rooms scale=0.6 "
-                      "+ 4 large furnished rooms eq 40k-110k "
-                      "(device-staged), multiseed4",
+        "trained_on": trained_on,
         "epochs": cfg.max_epoch,
     })
     print("saved", out)
