@@ -63,11 +63,18 @@ def estimate_normals_curvature(
     vox = voxel_coords(equalized_xyz, resolution)
     n = len(vox)
 
+    # Packed keys are affine in the voxel coords, so each of the 27
+    # neighbor keys is the point's own key plus a constant delta — one add
+    # per offset instead of a full pack (dims are padded by 2 per axis, so
+    # +-1 offsets of in-range voxels stay in-range and unique).
+    base_keys, _, _ = pack_voxels(vox, h.origin, h.dims)
+    deltas = ((NEIGHBOR_OFFSETS_27[:, 0] * h.dims[1]
+               + NEIGHBOR_OFFSETS_27[:, 1]) * h.dims[2]
+              + NEIGHBOR_OFFSETS_27[:, 2])
+
     from ..native import HAVE_NATIVE, moments27
     if HAVE_NATIVE and n:
-        probes = np.empty((n, 27), np.int64)
-        for oi, off in enumerate(NEIGHBOR_OFFSETS_27):
-            probes[:, oi], _, _ = pack_voxels(vox + off, h.origin, h.dims)
+        probes = base_keys[:, None] + deltas[None, :]
         acc_n, acc_s, acc_o = moments27(
             np.ascontiguousarray(h.sorted_keys),
             np.ascontiguousarray(counts),
@@ -79,9 +86,8 @@ def estimate_normals_curvature(
         acc_n = np.zeros(n, dtype=np.float64)
         acc_s = np.zeros((n, 3), dtype=np.float64)
         acc_o = np.zeros((n, 3, 3), dtype=np.float64)
-        for off in NEIGHBOR_OFFSETS_27:
-            keys, _, _ = pack_voxels(vox + off, h.origin, h.dims)
-            slot = h.lookup(keys)
+        for d in deltas:
+            slot = h.lookup(base_keys + d)
             hit = slot >= 0
             s = slot[hit]
             acc_n[hit] += counts[s]

@@ -808,70 +808,85 @@ def _split_program_batches(buckets: Dict[int, List[int]], dp: int,
     return out
 
 
-def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
-                        rooms: List[RoomFeatures], cfg: GrowConfig,
-                        min_bucket_size: int = 1024,
-                        max_instances: int = 512,
-                        exact_median: bool = True,
-                        interpret: bool = False,
-                        mesh=None,
-                        verbose: bool = False,
-                        truncation_warnings: bool = True
-                        ) -> List[RoomResult]:
-    """Segment rooms with the fused whole-room Pallas kernel
-    (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
-    seed pick in curvature order, grow-to-termination, visited/cluster
-    commit — runs on-chip per room with zero host round-trips. Exact
-    reference semantics (sequential seeds, exact without-replacement
-    sampling, exact masked median when ``exact_median``); the stochastic
-    draws use the kernel's own counter-based PRNG stream, so per-seed
-    trajectories differ from ``segment_rooms`` while the sampled
-    distributions are identical.
-
-    ``mesh`` (pure-DP): rooms shard over the dp axis; each device runs the
-    whole-room kernel on its local rooms, weights replicated, no
-    collectives (the room count pads to a multiple of the device count
-    with inert single-point rooms).
-
-    Constraints (falls back is the caller's job): standard architecture
-    (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 16,
-    rooms <= ``fused_grow.MAX_FUSED_POINTS`` (524288) padded points (VMEM
-    budget; per-step temporaries are column-chunked so only the room block
-    itself scales with P).
+class FusedSegmenter:
+    """Asynchronous fused-kernel segmentation: ``submit()`` packs rooms and
+    dispatches device programs WITHOUT blocking on their results (JAX async
+    dispatch); ``collect()`` materializes them. This is the prep/grow
+    overlap primitive — a caller preps room group i+1 on the host while
+    group i grows on the chip (``bench.py`` pipelined headline;
+    ``cli/test_region_grow.py --pipeline``). ``segment_rooms_fused`` is the
+    submit-everything-then-collect convenience wrapper; see its docstring
+    for semantics and constraints.
     """
-    from ..ops import fused_grow as _fg
 
-    if model_cfg.lite is not None:
-        raise ValueError("fused kernel supports the standard architecture")
-    if cfg.num_inlier != cfg.num_neighbor:
-        raise ValueError("fused kernel requires num_inlier == num_neighbor")
-    if cfg.feature_size > 16:
-        raise ValueError("fused kernel supports feature_size <= 16")
-    dp = 1
-    if mesh is not None:
-        from ..parallel.mesh import TP_AXIS
-        if mesh.shape.get(TP_AXIS, 1) != 1:
-            raise ValueError("fused inference mesh must have tp=1 (pure DP)")
-        dp = mesh.devices.size
+    def __init__(self, params, model_cfg: lrgnet.LrgNetConfig,
+                 cfg: GrowConfig, *, min_bucket_size: int = 1024,
+                 max_instances: int = 512, exact_median: bool = True,
+                 interpret: bool = False, mesh=None, verbose: bool = False,
+                 truncation_warnings: bool = True):
+        from ..ops import fused_grow as _fg
 
-    buckets: Dict[int, List[int]] = {}
-    for i, rf in enumerate(rooms):
-        psize = _bucket_size(len(rf.points), min_bucket_size)
-        if psize > _fg.MAX_FUSED_POINTS:
+        if model_cfg.lite is not None:
             raise ValueError(
-                f"room {i}: {len(rf.points)} points exceeds the fused "
-                f"kernel's {_fg.MAX_FUSED_POINTS}-point VMEM budget; "
-                f"use segment_rooms")
-        buckets.setdefault(psize, []).append(i)
+                "fused kernel supports the standard architecture")
+        if cfg.num_inlier != cfg.num_neighbor:
+            raise ValueError(
+                "fused kernel requires num_inlier == num_neighbor")
+        if cfg.feature_size > 16:
+            raise ValueError("fused kernel supports feature_size <= 16")
+        self.dp = 1
+        if mesh is not None:
+            from ..parallel.mesh import TP_AXIS
+            if mesh.shape.get(TP_AXIS, 1) != 1:
+                raise ValueError(
+                    "fused inference mesh must have tp=1 (pure DP)")
+            self.dp = mesh.devices.size
+        self._fg = _fg
+        self.cfg = cfg
+        self.mesh = mesh
+        self.min_bucket_size = min_bucket_size
+        self.max_instances = max_instances
+        self.exact_median = exact_median
+        self.interpret = interpret
+        self.verbose = verbose
+        self.truncation_warnings = truncation_warnings
+        self.weights = [jnp.asarray(a) for a in
+                        _fg.pack_lrgnet_weights(params, cfg.feature_size)]
+        self._pending: List[dict] = []
+        self._results: Dict[int, RoomResult] = {}
 
-    weights = [jnp.asarray(a) for a in
-               _fg.pack_lrgnet_weights(params, cfg.feature_size)]
-    results: List[Optional[RoomResult]] = [None] * len(rooms)
+    def preferred_group(self, n_points: int) -> int:
+        """Rooms of this size that one submit() fills best (one program)."""
+        psize = _bucket_size(n_points, self.min_bucket_size)
+        return self._fg.rooms_per_program_budget(
+            psize, self.cfg.feature_size) * self.dp
 
-    for psize, room_ids in _split_program_batches(buckets, dp):
+    def submit(self, rooms: Dict[int, RoomFeatures]) -> None:
+        """Pack ``rooms`` (id -> features) and dispatch their programs."""
+        _fg = self._fg
+        buckets: Dict[int, List[int]] = {}
+        for i, rf in rooms.items():
+            psize = _bucket_size(len(rf.points), self.min_bucket_size)
+            if psize > _fg.MAX_FUSED_POINTS:
+                raise ValueError(
+                    f"room {i}: {len(rf.points)} points exceeds the fused "
+                    f"kernel's {_fg.MAX_FUSED_POINTS}-point VMEM budget; "
+                    f"use segment_rooms")
+            buckets.setdefault(psize, []).append(i)
+        for psize, room_ids in _split_program_batches(buckets, self.dp):
+            self._launch(psize, room_ids, rooms)
+
+    def _launch(self, psize: int, room_ids: List[int],
+                rooms: Dict[int, RoomFeatures]) -> None:
+        _fg, cfg = self._fg, self.cfg
         t_setup = time.time()
         g = len(room_ids)
-        gp = -(-g // dp) * dp       # padded room count (inert tail rooms)
+        # rooms per program: as many rooms as fit one program's VMEM grow
+        # CONCURRENTLY (the merged multi-room kernel); pad the room count
+        # so each device's grid divides evenly (inert tail rooms)
+        gb = min(_fg.rooms_per_program_budget(psize, cfg.feature_size),
+                 -(-g // self.dp))  # never pad beyond per-device rooms
+        gp = -(-g // (gb * self.dp)) * (gb * self.dp)
         n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
         feat = np.zeros((gp, 16, psize), np.float32)
         vox = np.full((gp, 24, psize // 8), _fg.PAD_VOX, np.int32)
@@ -885,8 +900,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
              restores[gi]) = _fg.pack_room(rooms[ri], psize,
                                            cfg.feature_size)
             seeds[gi, 0] = cfg.seed * 1000003 + ri
-        # inert pad rooms still need one valid point or the outer loop's
-        # first seed pick reduces over an empty candidate set
+        # inert pad rooms still need one valid point or the first seed
+        # pick reduces over an empty candidate set
         for gi in range(g, gp):
             rank[gi, 0, 0] = 0
             vox[gi, :, 0] = 0
@@ -896,66 +911,125 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
                   max_steps=cfg.max_steps,
                   cluster_threshold=cfg.cluster_threshold,
-                  max_instances=max_instances, exact_median=exact_median,
-                  interpret=interpret)
+                  max_instances=self.max_instances,
+                  exact_median=self.exact_median,
+                  interpret=self.interpret, rooms_per_program=gb)
         t0 = time.time()
-        if mesh is None:
+        if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
                 jnp.asarray(seeds), jnp.asarray(feat), jnp.asarray(vox),
                 jnp.asarray(rank), jnp.asarray(obj), jnp.asarray(tbl),
-                weights, **kw)
+                self.weights, **kw)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as PS
+
             from ..parallel.mesh import DP_AXIS
-            sh = NamedSharding(mesh, PS(DP_AXIS))
+            sh = NamedSharding(self.mesh, PS(DP_AXIS))
             labels_d, log_d, counters_d = _fg.fused_grow_rooms_sharded(
-                mesh, jax.device_put(seeds, sh), jax.device_put(feat, sh),
-                jax.device_put(vox, sh), jax.device_put(rank, sh),
-                jax.device_put(obj, sh), jax.device_put(tbl, sh),
-                weights, **kw)
-        labels = np.asarray(jax.device_get(labels_d))
-        logs = np.asarray(jax.device_get(log_d))
-        counters = np.asarray(jax.device_get(counters_d))
-        net_time = time.time() - t0
+                self.mesh, jax.device_put(seeds, sh),
+                jax.device_put(feat, sh), jax.device_put(vox, sh),
+                jax.device_put(rank, sh), jax.device_put(obj, sh),
+                jax.device_put(tbl, sh), self.weights, **kw)
+        self._pending.append(dict(
+            room_ids=room_ids, rooms={ri: rooms[ri] for ri in room_ids},
+            restores=restores, labels_d=labels_d, log_d=log_d,
+            counters_d=counters_d, t_setup=t0 - t_setup, t_launch=t0))
 
-        for gi, ri in enumerate(room_ids):
-            n = len(rooms[ri].points)
-            # labels come back in the sorted-interleaved layout; restore
-            # maps original point index -> flat slot
-            lbl = labels[gi].reshape(-1)[restores[gi]].astype(int)
-            n_inst = int(counters[gi, 0, 1])
-            if n_inst > max_instances and truncation_warnings:
-                # the kernel seeds to full coverage regardless (reference
-                # semantics) but only the first max_instances get log rows.
-                # stderr: stdout carries only reference-parity metric lines
-                # that results/*.txt parsers consume
-                print(f"warning: room {ri} grew {n_inst} instances; "
-                      f"per-instance log truncated to {max_instances} rows "
-                      f"(labels are complete; raise max_instances for full "
-                      f"step counts)", file=sys.stderr)
-            inst_logs = []
-            for row in logs[gi, :min(n_inst, max_instances)]:
-                rec = {
-                    "target": int(row[1]), "steps": int(row[2]),
-                    "points": int(row[3]), "gt_points": int(row[4]),
-                    "reason": REASON_NAMES.get(int(row[5]), "?"),
-                    "add_acc": 0.0, "rmv_acc": 0.0,
-                    "log_prob": float(row[6]), "kept": bool(row[7] > 0),
-                }
-                inst_logs.append(rec)
-                if verbose and rec["kept"]:
-                    print("room %d target %3d: step %3d %4d/%4d points "
-                          "%s" % (ri, rec["target"], rec["steps"],
-                                  rec["points"], rec["gt_points"],
-                                  rec["reason"]))
-            results[ri] = RoomResult(
-                cluster_label=fill_unlabeled(rooms[ri].points, lbl),
-                num_clusters=int(counters[gi, 0, 0]),
-                instances=inst_logs,
-                timing={"net": net_time / g,
-                        "setup": (time.time() - t_setup) / g})
+    def collect(self) -> Dict[int, RoomResult]:
+        """Materialize every submitted program's results (launch order)."""
+        for rec in self._pending:
+            labels = np.asarray(jax.device_get(rec["labels_d"]))
+            logs = np.asarray(jax.device_get(rec["log_d"]))
+            counters = np.asarray(jax.device_get(rec["counters_d"]))
+            # net includes device queue wait of earlier programs (async
+            # dispatch); per-room figures are diagnostics, not a benchmark
+            net_time = time.time() - rec["t_launch"]
+            g = len(rec["room_ids"])
+            for gi, ri in enumerate(rec["room_ids"]):
+                rf = rec["rooms"][ri]
+                # labels come back in the sorted-interleaved layout;
+                # restore maps original point index -> flat slot
+                lbl = labels[gi].reshape(-1)[rec["restores"][gi]].astype(int)
+                n_inst = int(counters[gi, 0, 1])
+                if n_inst > self.max_instances and self.truncation_warnings:
+                    # the kernel seeds to full coverage regardless
+                    # (reference semantics) but only the first
+                    # max_instances get log rows. stderr: stdout carries
+                    # only reference-parity metric lines that
+                    # results/*.txt parsers consume
+                    print(f"warning: room {ri} grew {n_inst} instances; "
+                          f"per-instance log truncated to "
+                          f"{self.max_instances} rows (labels are "
+                          f"complete; raise max_instances for full step "
+                          f"counts)", file=sys.stderr)
+                inst_logs = []
+                for row in logs[gi, :min(n_inst, self.max_instances)]:
+                    irec = {
+                        "target": int(row[1]), "steps": int(row[2]),
+                        "points": int(row[3]), "gt_points": int(row[4]),
+                        "reason": REASON_NAMES.get(int(row[5]), "?"),
+                        "add_acc": 0.0, "rmv_acc": 0.0,
+                        "log_prob": float(row[6]), "kept": bool(row[7] > 0),
+                    }
+                    inst_logs.append(irec)
+                    if self.verbose and irec["kept"]:
+                        print("room %d target %3d: step %3d %4d/%4d points "
+                              "%s" % (ri, irec["target"], irec["steps"],
+                                      irec["points"], irec["gt_points"],
+                                      irec["reason"]))
+                self._results[ri] = RoomResult(
+                    cluster_label=fill_unlabeled(rf.points, lbl),
+                    num_clusters=int(counters[gi, 0, 0]),
+                    instances=inst_logs,
+                    timing={"net": net_time / g,
+                            "setup": rec["t_setup"] / g})
+        self._pending = []
+        return self._results
 
-    return results  # type: ignore[return-value]
+
+def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
+                        rooms: List[RoomFeatures], cfg: GrowConfig,
+                        min_bucket_size: int = 1024,
+                        max_instances: int = 512,
+                        exact_median: bool = True,
+                        interpret: bool = False,
+                        mesh=None,
+                        verbose: bool = False,
+                        truncation_warnings: bool = True
+                        ) -> List[RoomResult]:
+    """Segment rooms with the fused multi-room Pallas kernel
+    (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
+    seed pick in curvature order, grow-to-termination, visited/cluster
+    commit — runs on-chip with zero host round-trips, and each program
+    grows up to ``fused_grow.rooms_per_program_budget`` rooms CONCURRENTLY
+    (rooms are independent in the reference; per-room results reproduce
+    one-room-at-a-time execution up to float-ULP forward differences —
+    see ``fused_grow._grow_kernel``). Exact reference
+    semantics (sequential seeds, exact without-replacement sampling, exact
+    masked median when ``exact_median``); the stochastic draws use the
+    kernel's own counter-based PRNG stream, so per-seed trajectories
+    differ from ``segment_rooms`` while the sampled distributions are
+    identical.
+
+    ``mesh`` (pure-DP): rooms shard over the dp axis; each device runs the
+    multi-room kernel on its local rooms, weights replicated, no
+    collectives (the room count pads to a multiple of
+    device count * rooms-per-program with inert single-point rooms).
+
+    Constraints (falling back is the caller's job): standard architecture
+    (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 16,
+    rooms <= ``fused_grow.MAX_FUSED_POINTS`` (524288) padded points (VMEM
+    budget; per-step temporaries are column-chunked so only the room block
+    itself scales with P).
+    """
+    seg = FusedSegmenter(
+        params, model_cfg, cfg, min_bucket_size=min_bucket_size,
+        max_instances=max_instances, exact_median=exact_median,
+        interpret=interpret, mesh=mesh, verbose=verbose,
+        truncation_warnings=truncation_warnings)
+    seg.submit({i: rf for i, rf in enumerate(rooms)})
+    res = seg.collect()
+    return [res[i] for i in range(len(rooms))]
 
 
 def segment_rooms_scheduled(params, model_cfg: lrgnet.LrgNetConfig,

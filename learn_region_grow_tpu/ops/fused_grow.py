@@ -54,7 +54,7 @@ P-independent); callers fall back to the XLA engine above the cap.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -435,10 +435,74 @@ def _unpack_weight_refs(refs):
     return (in_w, nb_w, add_h, rmv_h, biases)
 
 
+class _RoomSt(NamedTuple):
+    """Per-room state of the merged seed/grow/commit machine (one entry per
+    room resident in the program; every field is a scalar)."""
+
+    fully_done: jnp.ndarray   # bool — no unvisited-untried candidates left
+    need_seed: jnp.ndarray    # bool — pick a new seed next iteration
+    inst: jnp.ndarray         # i32 — instances grown so far
+    cluster_id: jnp.ndarray   # i32 — next cluster label (1-based)
+    ctr: jnp.ndarray          # i32 — PRNG draw counter
+    remaining: jnp.ndarray    # i32 — unvisited-untried valid points
+    steps: jnp.ndarray        # i32 — steps of the CURRENT instance
+    stuck: jnp.ndarray        # i32 — consecutive non-growing-bbox steps
+    mnx: jnp.ndarray          # i32 ×6 — current-instance voxel bbox
+    mny: jnp.ndarray
+    mnz: jnp.ndarray
+    mxx: jnp.ndarray
+    mxy: jnp.ndarray
+    mxz: jnp.ndarray
+    smnx: jnp.ndarray         # i32 ×6 — all-steps-seen bbox (stuck test)
+    smny: jnp.ndarray
+    smnz: jnp.ndarray
+    smxx: jnp.ndarray
+    smxy: jnp.ndarray
+    smxz: jnp.ndarray
+    log_prob: jnp.ndarray     # f32 — cumulative decision log-prob (ml)
+    target: jnp.ndarray       # i32 — GT obj id of the seed point
+    seed_idx: jnp.ndarray     # i32 — flat slot of the seed point
+
+
 def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
-                 *refs, k: int, feature_size: int, max_steps: int,
+                 *refs, gb: int, k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
+    """Segment ``gb`` rooms CONCURRENTLY in one grid step.
+
+    Multi-room batching (the round-3 headline restructuring): the reference
+    loop is strictly sequential WITHIN a room (each grown region blocks
+    later seeds, ``test_region_grow.py:186-188``) but rooms are independent,
+    so one program interleaves gb rooms' state machines — every merged-loop
+    iteration advances gb regions by one grow step. The per-step bounded
+    passes (prepare / fused bisection / selection-ranks / gather / scatter /
+    commit) carry a ~2.4 us fixed loop-control cost per fori iteration
+    (docs/pallas_grow_kernel_design.md); stacking the gb rooms' range slabs
+    as extra ROWS of the same pass amortizes that cost gb-fold, and the
+    LrgNet forward batches as column-concatenation (one wide MXU matmul for
+    all rooms, ``forward_confidences_t(gb=...)``).
+
+    Room g's PRNG stream depends only on its seed table entry and draw
+    counter, and every stacked pass keeps rooms in disjoint row blocks
+    (block-diagonal pooling matmuls, per-room gathers/scatters), so batched
+    execution reproduces gb independent single-room programs: labels,
+    counters and all integer log fields come out bit-identical on the test
+    fixtures (tests/test_fused_grow.py batched-equivalence); the one
+    caveat is that the width of the batched forward matmul can shift
+    per-slot confidences by float ULPs, which in principle can flip a
+    Bernoulli decision the way any PRNG-stream change would — quality
+    metrics, not trajectories, are the cross-batch-size contract.
+
+    Per-room machinery (exact reference semantics, single-room design notes
+    in the module docstring): seeds in ascending curvature-rank order; one
+    grow step = bbox-bounded neighbor masking, exact without-replacement
+    512/512 sampling by hash-key bisection, exact full-cloud median
+    recentering, the transposed LrgNet forward, Bernoulli add/remove,
+    stuck/termination bookkeeping (``test_region_grow.py:183-306``). Rooms
+    whose instance terminates commit visited/cluster labels and reseed in
+    the same iteration; rooms out of candidates go inert (their pass rows
+    are masked) until every room finishes.
+    """
     (labels_ref, log_ref, counters_ref,
      visited_s, tried_s, current_s, sel_s, ranks_s, enc_s, enc_all_s) = (
         refs[21], refs[22], refs[23], refs[24], refs[25], refs[26],
@@ -448,706 +512,871 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     p8 = rank_ref.shape[2]
     p = 8 * p8
     n_chunks = p8 // chunk
-    # Bounded PER-STEP passes (prepare/bisection/sel-ranks/median/commit)
-    # iterate wider slabs than the gather/scatter chunk: their per-column
-    # work is only 8-90 rows, so at chunk=128 the loop control dominates
-    # the vector work (measured: -14% at P=65536, -30% at P=131072 when
-    # first landed on 128-column slabs). 8 chunks = 1024 columns amortizes
-    # the control 8x; the range bound keeps the same granularity in units
-    # of slabs. n_chunks is a power of two (power-of-two buckets), so
+    # Bounded PER-STEP passes iterate wider slabs than the gather/scatter
+    # chunk: their per-column work is rows-only, so at chunk=128 the loop
+    # control dominates the vector work (measured: -14% at P=65536, -30%
+    # at P=131072 when first landed on 128-column slabs). 8 chunks = 1024
+    # columns amortizes the control 8x; n_chunks is a power of two, so
     # slab_chunks always divides it.
     slab_chunks = min(8, n_chunks)
     n_slabs = n_chunks // slab_chunks
     sw = slab_chunks * chunk
-    room_i = pl.program_id(0)
-    room_seed = seed_ref[room_i, 0]
+    base = pl.program_id(0) * gb
     # decorrelate adjacent room seeds with a wrapping golden-ratio
     # multiply (linear spacing would overlap counter streams)
-    stream = room_seed * _CG
-
-    rank = rank_ref[0]
-    vox_x = vox_ref[0, 0:8, :]
-    vox_y = vox_ref[0, 8:16, :]
-    vox_z = vox_ref[0, 16:24, :]
-    obj = obj_ref[0]
-    valid = rank < BIG
-    glob_idx = (jax.lax.broadcasted_iota(jnp.int32, (8, p8), 0) * p8
-                + jax.lax.broadcasted_iota(jnp.int32, (8, p8), 1))
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-
-    visited_s[...] = jnp.zeros((8, p8), jnp.int32)
-    tried_s[...] = jnp.zeros((8, p8), jnp.int32)
-    labels_ref[...] = jnp.zeros((1, 8, p8), jnp.int32)
-    log_ref[...] = jnp.zeros((1, max_instances, 8), jnp.float32)
+    streams = [seed_ref[base + g, 0] * _CG for g in range(gb)]
 
     # recenter rows: xy + feature cols 6.. (engine.grow._recenter_cols)
     rec_rows = [0, 1] + list(range(6, feature_size))
     n_rec = len(rec_rows)
-    if exact_median:
-        # enc_s rows g*8+r = sortable encoding of feature rec_rows[g],
-        # sublane r — built once per room
-        for g, fr in enumerate(rec_rows):
-            enc_row = sortable_encode(feat_ref[0, fr:fr + 1, :])   # (1, P)
-            for r in range(8):
-                enc_s[g * 8 + r: g * 8 + r + 1, :] = (
-                    enc_row[:, r * p8:(r + 1) * p8])
-        # block-sum pooling matrix pool[g, j] = (j // 8 == g), built from
-        # iotas so it is not a captured constant
-        pr = jax.lax.broadcasted_iota(jnp.int32, (n_rec, n_rec * 8), 0)
-        pc = jax.lax.broadcasted_iota(jnp.int32, (n_rec, n_rec * 8), 1)
-        pool = ((pc // 8) == pr).astype(jnp.float32)
-
-    # fused-bisection pool: group 0 = inlier sample threshold, group 1 =
-    # neighbor sample threshold, groups 2.. = recenter-feature medians
+    # fused-bisection groups per room: inlier sample threshold, neighbor
+    # sample threshold, then (exact mode) each recenter feature's median
     g_all = 2 + (n_rec if exact_median else 0)
-    pr_a = jax.lax.broadcasted_iota(jnp.int32, (g_all, g_all * 8), 0)
-    pc_a = jax.lax.broadcasted_iota(jnp.int32, (g_all, g_all * 8), 1)
-    pool_all = ((pc_a // 8) == pr_a).astype(jnp.float32)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    IMAX = jnp.int32(2 ** 31 - 1)
+    hp = jax.lax.Precision.HIGHEST
+    glob_idx = (jax.lax.broadcasted_iota(jnp.int32, (8, p8), 0) * p8
+                + jax.lax.broadcasted_iota(jnp.int32, (8, p8), 1))
 
-    def chunk_intersects(cc, b):
-        """Does column chunk cc's voxel-bounds box intersect bbox ``b``?
+    visited_s[...] = jnp.zeros((gb * 8, p8), jnp.int32)
+    tried_s[...] = jnp.zeros((gb * 8, p8), jnp.int32)
+    current_s[...] = jnp.zeros((gb * 8, p8), jnp.int32)
+    labels_ref[...] = jnp.zeros((gb, 8, p8), jnp.int32)
+    log_ref[...] = jnp.zeros((gb, max_instances, 8), jnp.float32)
 
-        ``b`` = (lx, hx, ly, hy, lz, hz) scalars. The per-chunk table is
-        precomputed on host (``chunk_bounds``) over the x-sorted
-        interleaved layout, so x bounds are tight."""
-        lx, hx, ly, hy, lz, hz = b
-        return ((tbl_ref[room_i, 1, cc] >= lx) & (tbl_ref[room_i, 0, cc] <= hx)
-                & (tbl_ref[room_i, 3, cc] >= ly)
-                & (tbl_ref[room_i, 2, cc] <= hy)
-                & (tbl_ref[room_i, 5, cc] >= lz)
-                & (tbl_ref[room_i, 4, cc] <= hz))
-
-    def gather_pass(targets, b, cmin, cmax):
-        """Rank-match gather over the room in column slabs (fori_loop, so
-        Mosaic reuses ONE slab's temporaries — unrolled chunk loops blow
-        the scoped-vmem stack at P=16384). Only chunks in the step's
-        contiguous x range [cmin, cmax] are visited, and chunks whose
-        voxel bounds miss the sampled set's bbox ``b`` are skipped
-        entirely (the selection mask is zero there, so they contribute
-        nothing).
-
-        Reads sel/ranks from scratch via dynamic pl.ds slices (the proven
-        ops/masked_select pattern). Returns (gathered (16, k) f32,
-        idx_col (k, 1) f32 — the sampled points' exact global indices,
-        f32-exact for P <= 2^24).
-        """
-        chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-
-        def slab(cc, carry):
-            gathered, idx_col = carry
-            lo = cc * chunk
-            rr = ranks_s[pl.ds(0, 8), pl.ds(lo, chunk)]      # (8, chunk)
-            ss = sel_s[pl.ds(0, 8), pl.ds(lo, chunk)]
-            flat_rr = rr.reshape(1, 8 * chunk)
-            flat_ss = ss.reshape(1, 8 * chunk)
-            hit = (targets == flat_rr) & (flat_ss > 0)       # (k, 8*chunk)
-            onehot = hit.astype(jnp.float32)
-            feat_slab = jnp.concatenate(
-                [feat_ref[0, :, pl.ds(r * p8 + lo, chunk)] for r in range(8)],
-                axis=1)                                      # (16, 8*chunk)
-            glob_row = jnp.concatenate(
-                [r * p8 + lo + chunk_iota for r in range(8)],
-                axis=1)                                      # (1, 8*chunk) i32
-            # HIGHEST precision: a default-precision MXU pass would
-            # truncate the gathered FEATURE VALUES to bf16
-            gathered = gathered + jax.lax.dot_general(
-                feat_slab, onehot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            # index accumulation must be BIT-EXACT (equality compares drive
-            # the scatter): int32 masked sum on the VPU, never the MXU
-            idx_col = idx_col + jnp.sum(jnp.where(hit, glob_row, 0),
-                                        axis=1, keepdims=True)
-            return gathered, idx_col
-
-        def body(cc, carry):
-            return jax.lax.cond(chunk_intersects(cc, b),
-                                lambda c: slab(cc, c), lambda c: c, carry)
-
-        return jax.lax.fori_loop(
-            cmin, cmax + 1, body,
-            (jnp.zeros((16, k), jnp.float32), jnp.zeros((k, 1), jnp.int32)))
-
-    def build_sel_ranks(row_off, thr, smin, smax):
-        """Write the selection mask (``enc_all`` group rows <= ``thr``) and
-        its 1-based global-row-major prefix ranks into sel_s / ranks_s —
-        range slabs only (everything selected lies inside them; the
-        gather never reads outside).
-
-        Two bounded passes: (1) per-slab row totals, (2) in-slab row
-        prefix + cross-slab and cross-row offsets. Replaces the full-room
-        Hillis-Steele ``prefix_ranks`` in the per-step path."""
-        thr_rows = jnp.full((8, 1), thr, jnp.int32)
-
-        def ph1(s, rt):                                   # rt (8, n_slabs)
-            slab = enc_all_s[pl.ds(row_off, 8), pl.ds(s * sw, sw)]
-            t = jnp.sum((slab <= thr_rows).astype(jnp.int32), axis=1,
-                        keepdims=True)                    # (8, 1)
-            colmask = jax.lax.broadcasted_iota(
-                jnp.int32, (8, n_slabs), 1) == s
-            return rt + jnp.where(colmask, t, 0)
-
-        rt = jax.lax.fori_loop(smin, smax + 1, ph1,
-                               jnp.zeros((8, n_slabs), jnp.int32))
-        # exclusive per-row prefix across slabs
-        inc = rt
-        d = 1
-        while d < n_slabs:
-            inc = inc + jnp.concatenate(
-                [jnp.zeros((8, d), jnp.int32), inc[:, :n_slabs - d]],
-                axis=1)
-            d *= 2
-        row_prior = inc - rt                              # (8, n_slabs)
-        row_tot = inc[:, n_slabs - 1:n_slabs]             # (8, 1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        row_base = jnp.zeros((8, 1), jnp.int32)
-        for r in range(1, 8):
-            row_base = row_base + jnp.where(row_ids >= r,
-                                            row_tot[r - 1:r], 0)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (8, n_slabs), 1)
-
-        def ph2(s, _):
-            lo = s * sw
-            sel = (enc_all_s[pl.ds(row_off, 8), pl.ds(lo, sw)]
-                   <= thr_rows)
-            cum = sel.astype(jnp.int32)
-            d = 1
-            while d < sw:
-                cum = cum + jnp.concatenate(
-                    [jnp.zeros((8, d), jnp.int32), cum[:, :sw - d]],
-                    axis=1)
-                d *= 2
-            prior = jnp.sum(jnp.where(cidx == s, row_prior, 0), axis=1,
-                            keepdims=True)                # (8, 1)
-            sel_s[pl.ds(0, 8), pl.ds(lo, sw)] = sel.astype(jnp.int32)
-            ranks_s[pl.ds(0, 8), pl.ds(lo, sw)] = (cum + prior
-                                                   + row_base)
-            return 0
-
-        jax.lax.fori_loop(smin, smax + 1, ph2, 0)
-
-    def sample_and_gather(row_off, thr, cnt, fill_ctr, b, cmin, cmax,
-                          smin, smax):
-        """Gather the k sampled feature columns + global indices for the
-        selection ``enc_all[group] <= thr`` (threshold from the fused
-        per-step bisection; INT32_MAX-1 when cnt <= k selects the whole
-        mask). ``b`` bounds the selection; [cmin, cmax] is the step's
-        chunk range, [smin, smax] the same range in slab units."""
-        build_sel_ranks(row_off, thr, smin, smax)
-        fill_u = uniform01(hash_keys(kcol, stream + fill_ctr))
-        targets = sample_targets(cnt, k, fill_u)
-        return gather_pass(targets, b, cmin, cmax)
-
-    def scatter_pass(idx_col, dec_col, out_ref, b, cmin, cmax):
-        """Decisions (k, 1) at sampled indices (k, 1) -> point mask written
-        into ``out_ref`` ((8, P8) i32 scratch) + duplicate-slot-OR
-        membership slot_sel (1, k).
-
-        Column-chunked like ``gather_pass``: a full (k, P8) hit matrix is
-        32 MB of VMEM at P=131072, but per (row, chunk) slab it is a
-        reusable (k, chunk) temporary. Only the step's chunk range
-        [cmin, cmax] is visited (the commit pass never reads outside it);
-        range chunks outside bbox ``b`` (which bounds every sampled index)
-        just zero-fill. ``out_ref`` reuses the sampling scratch
-        (sel/ranks), dead once both gathers are done."""
-        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        deci = dec_col > 0
-
-        def body(cc, _):
-            lo = cc * chunk
-            inter = chunk_intersects(cc, b)
-
-            @pl.when(inter)
-            def _():
-                res = jnp.zeros((8, chunk), jnp.int32)
+    if exact_median:
+        # enc_s rows (g*n_rec + fi)*8 + r = sortable encoding of room g's
+        # feature rec_rows[fi], sublane r — built once per program
+        for g in range(gb):
+            for fi, fr in enumerate(rec_rows):
+                enc_row = sortable_encode(feat_ref[g, fr:fr + 1, :])
                 for r in range(8):
-                    glob_row = r * p8 + lo + chunk_iota      # (1, chunk)
-                    hit = (idx_col == glob_row) & deci       # (k, chunk)
-                    row_hit = jnp.max(hit.astype(jnp.int32), axis=0,
-                                      keepdims=True)         # (1, chunk)
-                    res = jnp.where(rows8 == r, row_hit, res)
-                out_ref[pl.ds(0, 8), pl.ds(lo, chunk)] = res
+                    row = (g * n_rec + fi) * 8 + r
+                    enc_s[row:row + 1, :] = enc_row[:, r * p8:(r + 1) * p8]
 
-            @pl.when(~inter)
-            def _():
-                out_ref[pl.ds(0, 8), pl.ds(lo, chunk)] = jnp.zeros(
-                    (8, chunk), jnp.int32)
+    def block_pool(n_groups):
+        """(G, G*8) block-sum matrix pool[i, j] = (j // 8 == i), built from
+        iotas so it is not a captured constant. Rooms occupy disjoint group
+        blocks, so pooled reductions never mix rooms."""
+        pr = jax.lax.broadcasted_iota(jnp.int32, (n_groups, n_groups * 8), 0)
+        pc = jax.lax.broadcasted_iota(jnp.int32, (n_groups, n_groups * 8), 1)
+        return ((pc // 8) == pr).astype(jnp.float32)
 
-            return 0
+    pool_all = block_pool(gb * g_all)
+    pool_med = block_pool(gb * n_rec) if exact_median else None
 
-        jax.lax.fori_loop(cmin, cmax + 1, body, 0)
-        idx_row = idx_col.reshape(1, k)
-        dup_hit = (idx_col == idx_row) & deci                # (k, k)
-        slot_sel = jnp.max(dup_hit.astype(jnp.int32), axis=0,
-                           keepdims=True)                    # (1, k)
-        return slot_sel
+    def spread_groups(v, pool):
+        """Exact (G, 1) int32 -> (G*8, 1) group broadcast via the pool.
 
-    def median_offset_from(v_lo, cnt, smin, smax):
-        """(16, 1) recenter offset given the LOWER median order statistic
-        ``v_lo`` (n_rec, 1) from the fused bisection.
-
-        The upper statistic (rank cnt//2+1 = lower rank or lower rank + 1)
-        is recovered with ONE bounded pass instead of a second 33-pass
-        bisection: if count(enc <= v_lo) >= hi_r the upper statistic IS
-        v_lo (duplicates), else it is the smallest masked value > v_lo.
-        Reads ``enc_s`` masked with the current mask on the fly —
-        sentinel slots (INT32_MAX) never satisfy ``<= v_lo`` and survive
-        the ``> v_lo`` min as the same sentinel the old full pass used."""
-        hi_r = cnt // 2 + 1
-        hp = jax.lax.Precision.HIGHEST
-        # exact int broadcast: 16-bit halves through HIGHEST-precision
-        # dots (see bisect_order_stat_cols exactness note)
+        EXACTNESS: int32 values up to 2^31 move through the MXU as 16-bit
+        halves (each f32-exact) at HIGHEST precision — a default-precision
+        matmul would truncate them to bf16 (docs/tpu_pitfalls.md)."""
         up = lambda x: jnp.dot(pool.T, x.astype(jnp.float32),
                                preferred_element_type=jnp.float32,
                                precision=hp).astype(jnp.int32)
-        v_lo_rows = up(v_lo >> 16) * 65536 + up(v_lo & 0xFFFF)
+        return up(v >> 16) * 65536 + up(v & 0xFFFF)
 
-        def acc(s, carry):
-            cle, rmin = carry
-            lo = s * sw
-            curt = jnp.concatenate(
-                [current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0] * n_rec,
-                axis=0)
-            slab = jnp.where(
-                curt, enc_s[pl.ds(0, n_rec * 8), pl.ds(lo, sw)],
-                jnp.int32(2 ** 31 - 1))
-            cle = cle + jnp.sum((slab <= v_lo_rows).astype(jnp.float32),
-                                axis=1, keepdims=True)
-            gt = jnp.where(slab > v_lo_rows, slab, jnp.int32(2 ** 31 - 1))
-            rmin = jnp.minimum(rmin, jnp.min(gt, axis=1, keepdims=True))
-            return cle, rmin
+    def stack_i32(vals, rows_each=1):
+        """gb scalars -> (gb*rows_each, 1) int32 column."""
+        n = len(vals) * rows_each
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        out = jnp.zeros((n, 1), jnp.int32)
+        for g, v in enumerate(vals):
+            out = out + jnp.where((row // rows_each) == g,
+                                  jnp.int32(0) + v, 0)
+        return out
 
-        cle_rows, row_min = jax.lax.fori_loop(
-            smin, smax + 1, acc,
-            (jnp.zeros((n_rec * 8, 1), jnp.float32),
-             jnp.full((n_rec * 8, 1), 2 ** 31 - 1, jnp.int32)))
-        c_le = jnp.dot(pool, cle_rows, preferred_element_type=jnp.float32,
-                       precision=hp).astype(jnp.int32)       # (n_rec, 1)
-        rowg = jax.lax.broadcasted_iota(jnp.int32, (n_rec, 1), 0)
-        gmin = jnp.zeros((n_rec, 1), jnp.int32)
-        for g in range(n_rec):
-            gmin = gmin + jnp.where(rowg == g,
-                                    jnp.min(row_min[g * 8:(g + 1) * 8]), 0)
-        v_hi = jnp.where(c_le >= hi_r, v_lo, gmin)
-        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-        # scatter (n_rec, 1) medians to (16, 1) offset rows
-        row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-        off = jnp.zeros((16, 1), jnp.float32)
-        for g, fr in enumerate(rec_rows):
-            off = off + jnp.where(row16 == fr, med[g, 0], 0.0)
-        return off
-
-    def _rec_rows_mask():
+    def rec_rows_mask():
         row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         rec = jnp.zeros((16, 1), dtype=bool)
         for fr in rec_rows:
             rec = rec | (row16 == fr)
         return rec
 
-    def _bisect16_pair(enc, lo_r, hi_r):
-        """Both median order statistics of each (16, k) row in ONE stacked
-        33-pass bisection. A per-pass fori iteration costs ~2.4 us of loop
-        overhead regardless of vector width (measured: two separate
-        33-pass loops made fast mode SLOWER than the fused slab
-        bisection), so the lower/upper stats bisect as 32 stacked rows.
+    chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-        hi0 = 2**31 - 2 is safe because every encoding bisected here is
-        strictly below INT32_MAX: sortable encodings of FINITE f32
-        features reach INT32_MAX only for a NaN payload, which
-        ``prepare_room`` never produces, and fill-slot sentinels clamp to
-        IMAX (handled by the rank bound) — same invariant as the slab
-        bisection's hi0 (see inner_body's "hi0 = IMAX-1" note)."""
-        enc2 = jnp.concatenate([enc, enc], axis=0)          # (32, k)
-        half = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) < 16
-        ranks = jnp.where(half, lo_r, hi_r)
+    def chunk_intersects(g, cc, b):
+        """Does room g's column chunk cc voxel-bounds box intersect ``b``?
 
-        def body(_, carry):
-            lo, hi = carry                                  # (32, 1)
-            mid = _midpoint(lo, hi)
-            c = jnp.sum((enc2 <= mid).astype(jnp.int32), axis=1,
-                        keepdims=True)
-            take = c >= ranks
-            return (jnp.where(take, lo, mid + 1),
-                    jnp.where(take, mid, hi))
+        ``b`` = (lx, hx, ly, hy, lz, hz) scalars; per-chunk table built on
+        host (``chunk_bounds``) over the x-sorted interleaved layout."""
+        lx, hx, ly, hy, lz, hz = b
+        t = lambda r: tbl_ref[base + g, r, cc]
+        return ((t(1) >= lx) & (t(0) <= hx) & (t(3) >= ly) & (t(2) <= hy)
+                & (t(5) >= lz) & (t(4) <= hz))
 
-        v, _ = jax.lax.fori_loop(
-            0, 33, body, (jnp.full((32, 1), -2 ** 31, jnp.int32),
-                          jnp.full((32, 1), 2 ** 31 - 2, jnp.int32)))
-        return v[0:16], v[16:32]
+    # ---------------------------------------------------------------------
+    # Phase A: seed pick (runs per room, only when that room needs a seed)
+    # ---------------------------------------------------------------------
 
-    def sampled_median_offset(gathered):
-        """(16, 1) offset from the 512 SAMPLED inliers (fast mode)."""
-        enc = sortable_encode(gathered)                     # (16, k)
-        v_lo, v_hi = _bisect16_pair(enc, jnp.int32((k - 1) // 2 + 1),
-                                    jnp.int32(k // 2 + 1))
-        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-        return jnp.where(_rec_rows_mask(), med, 0.0)
+    def seed_room(g, st):
+        """Lowest unvisited-untried curvature rank becomes the next seed
+        (reference ``test_region_grow.py:183-188``); writes tried/current
+        and resets the per-instance state."""
+        def do(s):
+            rank_g = rank_ref[g]
+            vis = visited_s[pl.ds(g * 8, 8), :] > 0
+            trd = tried_s[pl.ds(g * 8, 8), :] > 0
+            cand = (rank_g < BIG) & ~vis & ~trd
+            seed_rank = jnp.min(jnp.where(cand, rank_g, BIG))
+            seed_mask = cand & (rank_g == seed_rank)
+            tried_s[pl.ds(g * 8, 8), :] = (trd | seed_mask).astype(jnp.int32)
+            current_s[pl.ds(g * 8, 8), :] = seed_mask.astype(jnp.int32)
+            sx = jnp.sum(jnp.where(seed_mask, vox_ref[g, 0:8, :], 0))
+            sy = jnp.sum(jnp.where(seed_mask, vox_ref[g, 8:16, :], 0))
+            sz = jnp.sum(jnp.where(seed_mask, vox_ref[g, 16:24, :], 0))
+            return s._replace(
+                need_seed=jnp.bool_(False), steps=jnp.int32(0),
+                stuck=jnp.int32(0), log_prob=jnp.float32(0.0),
+                mnx=sx, mny=sy, mnz=sz, mxx=sx, mxy=sy, mxz=sz,
+                smnx=sx, smny=sy, smnz=sz, smxx=sx, smxy=sy, smxz=sz,
+                target=jnp.sum(jnp.where(seed_mask, obj_ref[g], 0)),
+                seed_idx=jnp.sum(jnp.where(seed_mask, glob_idx, 0)))
 
-    IMAX = jnp.int32(2 ** 31 - 1)
+        return jax.lax.cond(st.need_seed & ~st.fully_done, do,
+                            lambda s: s, st)
 
-    def gathered_median_offset(gathered, cnt):
-        """(16, 1) recenter offset, EXACT, for the cur_cnt <= k case.
+    # ---------------------------------------------------------------------
+    # Phase B: one grow step for every active room
+    # ---------------------------------------------------------------------
 
-        ``sample_targets`` fills slots [0, cnt) with ranks 1..cnt in
-        natural order when cnt <= k, so the gathered block holds every
-        current point exactly once there (fills beyond are duplicates).
-        Masking the fill slots to the sentinel makes the full-mask order
-        statistics computable from the (16, k) block in VMEM — the same
-        multiset of f32 values the slab path encodes, hence bit-identical
-        medians — without any slab pass."""
-        enc = sortable_encode(gathered)                     # (16, k)
-        slot_ok = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) < cnt
-        enc = jnp.where(slot_ok, enc, IMAX)
-        v_lo, v_hi = _bisect16_pair(enc, (cnt - 1) // 2 + 1, cnt // 2 + 1)
-        med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-        return jnp.where(_rec_rows_mask(), med, 0.0)
+    def grow_step(sts):
+        active = [~st.fully_done for st in sts]
 
-    def inner_body(carry):
-        (done, steps, stuck, min_x, min_y, min_z, max_x, max_y, max_z,
-         smin_x, smin_y, smin_z, smax_x, smax_y, smax_z,
-         log_prob, reason, ctr) = carry
-        b_in = (min_x, max_x, min_y, max_y, min_z, max_z)
-        b_nb = (min_x - 1, max_x + 1, min_y - 1, max_y + 1,
-                min_z - 1, max_z + 1)
+        # --- contiguous chunk range covering each room's b_nb in x -------
+        # (points pack x-sorted, so intersecting chunks form one range;
+        # scalar scan over the SMEM bounds table). Every bounded pass below
+        # iterates i in [0, max range length); room g reads its own slab
+        # smin[g] + i (clamped), with contributions masked by i < slen[g] —
+        # per-step cost scales with the LARGEST region footprint in the
+        # batch, not the room size.
+        def rng_body(cc, carry):
+            out = []
+            for g, st in enumerate(sts):
+                cmn, cmx = carry[2 * g], carry[2 * g + 1]
+                inter = ((tbl_ref[base + g, 1, cc] >= st.mnx - 1)
+                         & (tbl_ref[base + g, 0, cc] <= st.mxx + 1))
+                out.append(jnp.where(inter, jnp.minimum(cmn, cc), cmn))
+                out.append(jnp.where(inter, jnp.maximum(cmx, cc), cmx))
+            return tuple(out)
 
-        # --- contiguous chunk range covering b_nb in x --------------------
-        # (the layout is x-sorted, pack_room, so chunks whose x span
-        # intersects [lx, hx] form one contiguous index range; scalar scan
-        # over the SMEM bounds table). Every per-step pass below is
-        # bounded by [cmin, cmax] — per-step cost scales with the REGION,
-        # not the room.
-        def rng_body(cc, c):
-            cmn, cmx = c
-            inter = ((tbl_ref[room_i, 1, cc] >= b_nb[0])
-                     & (tbl_ref[room_i, 0, cc] <= b_nb[1]))
-            return (jnp.where(inter, jnp.minimum(cmn, cc), cmn),
-                    jnp.where(inter, jnp.maximum(cmx, cc), cmx))
+        rng0 = (jnp.int32(n_chunks - 1), jnp.int32(0)) * gb
+        rng = jax.lax.fori_loop(0, n_chunks, rng_body, rng0)
+        cmin, cmax = [], []
+        for g in range(gb):
+            lo_, hi_ = rng[2 * g], rng[2 * g + 1]
+            # inert rooms pin to chunk 0 (their rows are masked anyway);
+            # hi >= lo keeps every clamped read in bounds
+            lo_ = jnp.where(active[g], jnp.minimum(lo_, hi_), 0)
+            hi_ = jnp.where(active[g], jnp.maximum(rng[2 * g + 1], lo_), 0)
+            cmin.append(lo_)
+            cmax.append(hi_)
+        smin = [cmin[g] // slab_chunks for g in range(gb)]
+        smax = [cmax[g] // slab_chunks for g in range(gb)]
+        slen = [smax[g] - smin[g] + 1 for g in range(gb)]
+        clen = [cmax[g] - cmin[g] + 1 for g in range(gb)]
+        # slab-aligned chunk range (scatter writes / commit reads)
+        ac0 = [smin[g] * slab_chunks for g in range(gb)]
+        aclen = [slen[g] * slab_chunks for g in range(gb)]
 
-        cmin, cmax = jax.lax.fori_loop(
-            0, n_chunks, rng_body,
-            (jnp.int32(n_chunks - 1), jnp.int32(0)))
-        smin = cmin // slab_chunks
-        smax = cmax // slab_chunks
+        def list_max(xs):
+            m = xs[0]
+            for x in xs[1:]:
+                m = jnp.maximum(m, x)
+            return m
 
-        # --- prepare pass: masked encodings + counts (branch-free) --------
-        # enc_all rows: [0:8] inlier sample keys under the current mask,
-        # [8:16] neighbor keys under the bbox-neighbor mask; sentinel IMAX
-        # elsewhere. Keys
-        # clamp to IMAX-1 so a (2^-31-probability) key equal to the
-        # sentinel cannot alias a masked-out slot. y/z-missing chunks in
-        # the x range write pure sentinel (their per-point masks are
-        # all-false) — no conditionals anywhere in the bounded passes.
-        def prep_body(s, c):
-            lo = s * sw
-            curs = current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
-            viss = visited_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
-            vxs = vox_ref[0, 0:8, pl.ds(lo, sw)]
-            vys = vox_ref[0, 8:16, pl.ds(lo, sw)]
-            vzs = vox_ref[0, 16:24, pl.ds(lo, sw)]
-            rks = rank_ref[0, pl.ds(0, 8), pl.ds(lo, sw)]
-            nbs = ((rks < BIG) & ~curs & ~viss
-                   & (vxs >= b_nb[0]) & (vxs <= b_nb[1])
-                   & (vys >= b_nb[2]) & (vys <= b_nb[3])
-                   & (vzs >= b_nb[4]) & (vzs <= b_nb[5]))
-            gidx = (jax.lax.broadcasted_iota(jnp.int32, (8, sw), 0) * p8
-                    + lo
-                    + jax.lax.broadcasted_iota(jnp.int32, (8, sw), 1))
-            ki = jnp.minimum(hash_keys(gidx, stream + ctr), IMAX - 1)
-            kn = jnp.minimum(hash_keys(gidx, stream + ctr + 2), IMAX - 1)
-            enc_all_s[pl.ds(0, 8), pl.ds(lo, sw)] = jnp.where(
-                curs, ki, IMAX)
-            enc_all_s[pl.ds(8, 8), pl.ds(lo, sw)] = jnp.where(
-                nbs, kn, IMAX)
-            # recenter encodings are NOT materialized: the bisection and
-            # median passes mask enc_s with current_s on the fly, saving
-            # an (n_rec*8, P8) VMEM slab (19 MB at P=524288 — the block
-            # that used to push the 512k bucket past the 128 MB budget)
-            return c + jnp.sum(jnp.concatenate([curs, nbs], axis=0)
-                               .astype(jnp.int32), axis=1, keepdims=True)
+        max_slen = list_max(slen)
+        max_clen = list_max(clen)
+        max_aclen = list_max(aclen)
 
-        cnt2 = jax.lax.fori_loop(smin, smax + 1, prep_body,
-                                 jnp.zeros((16, 1), jnp.int32))
-        cur_cnt = jnp.sum(cnt2[0:8])
-        nb_cnt = jnp.sum(cnt2[8:16])
-        no_neighbor = nb_cnt == 0
+        def slab_lo(g, i):
+            return (smin[g] + jnp.minimum(i, slen[g] - 1)) * sw
 
-        # --- ONE fused 33-pass bisection, range-bounded -------------------
-        # solves every per-step order statistic (inlier k-subset key
-        # threshold, neighbor threshold, each recenter feature's lower
-        # median rank) over the sentinel-masked enc_all slabs.
-        rank_rows = jax.lax.broadcasted_iota(jnp.int32, (g_all, 1), 0)
-        ranks_all = (jnp.where(rank_rows == 0, jnp.minimum(cur_cnt, k), 0)
-                     + jnp.where(rank_rows == 1, jnp.minimum(nb_cnt, k), 0)
-                     + jnp.where(rank_rows >= 2, (cur_cnt - 1) // 2 + 1, 0))
-        hp = jax.lax.Precision.HIGHEST
+        # --- prepare pass: masked sample-key encodings + counts ----------
+        # enc_all rows [g*16, g*16+8) = room g's inlier keys under the
+        # current mask, [g*16+8, g*16+16) = neighbor keys under the bbox
+        # neighbor mask; sentinel IMAX elsewhere. Keys clamp to IMAX-1 so
+        # a key equal to the sentinel cannot alias a masked-out slot.
+        def prep_body(i, acc):
+            parts = []
+            for g, st in enumerate(sts):
+                ok = active[g] & (i < slen[g])
+                lo = slab_lo(g, i)
+                curs = current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
+                viss = visited_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
+                vxs = vox_ref[g, 0:8, pl.ds(lo, sw)]
+                vys = vox_ref[g, 8:16, pl.ds(lo, sw)]
+                vzs = vox_ref[g, 16:24, pl.ds(lo, sw)]
+                rks = rank_ref[g, pl.ds(0, 8), pl.ds(lo, sw)]
+                nbs = ((rks < BIG) & ~curs & ~viss
+                       & (vxs >= st.mnx - 1) & (vxs <= st.mxx + 1)
+                       & (vys >= st.mny - 1) & (vys <= st.mxy + 1)
+                       & (vzs >= st.mnz - 1) & (vzs <= st.mxz + 1))
+                gidx = (jax.lax.broadcasted_iota(jnp.int32, (8, sw), 0) * p8
+                        + lo
+                        + jax.lax.broadcasted_iota(jnp.int32, (8, sw), 1))
+                ki = jnp.minimum(hash_keys(gidx, streams[g] + st.ctr),
+                                 IMAX - 1)
+                kn = jnp.minimum(hash_keys(gidx, streams[g] + st.ctr + 2),
+                                 IMAX - 1)
+                enc_all_s[pl.ds(g * 16, 8), pl.ds(lo, sw)] = jnp.where(
+                    curs, ki, IMAX)
+                enc_all_s[pl.ds(g * 16 + 8, 8), pl.ds(lo, sw)] = jnp.where(
+                    nbs, kn, IMAX)
+                parts.append(curs & ok)
+                parts.append(nbs & ok)
+            allr = jnp.concatenate(parts, axis=0).astype(jnp.int32)
+            return acc + jnp.sum(allr, axis=1, keepdims=True)
 
-        def spread_all(v):
-            up = lambda x: jnp.dot(pool_all.T, x.astype(jnp.float32),
-                                   preferred_element_type=jnp.float32,
-                                   precision=hp).astype(jnp.int32)
-            return up(v >> 16) * 65536 + up(v & 0xFFFF)
+        cnts = jax.lax.fori_loop(0, max_slen, prep_body,
+                                 jnp.zeros((gb * 16, 1), jnp.int32))
+        cur_cnt = [jnp.sum(cnts[g * 16:g * 16 + 8]) for g in range(gb)]
+        nb_cnt = [jnp.sum(cnts[g * 16 + 8:g * 16 + 16]) for g in range(gb)]
+        no_neighbor = [nb_cnt[g] == 0 for g in range(gb)]
+
+        # --- ONE fused 33-pass bisection for every room's order stats ----
+        # SMALL-STEP SKIP: when every active room's candidate sets fit in
+        # k, the thresholds are degenerate and exact medians come from the
+        # gathered blocks — the whole slab bisection is dead work.
+        small = [(cur_cnt[g] <= k) & (nb_cnt[g] <= k) for g in range(gb)]
+        all_small = small[0] | ~active[0]
+        for g in range(1, gb):
+            all_small = all_small & (small[g] | ~active[g])
+
+        rows_ga = jax.lax.broadcasted_iota(jnp.int32, (gb * g_all, 1), 0)
+        ranks_all = jnp.zeros((gb * g_all, 1), jnp.int32)
+        for g in range(gb):
+            b0 = g * g_all
+            ranks_all = (
+                ranks_all
+                + jnp.where(rows_ga == b0, jnp.minimum(cur_cnt[g], k), 0)
+                + jnp.where(rows_ga == b0 + 1, jnp.minimum(nb_cnt[g], k), 0))
+            if exact_median:
+                ranks_all = ranks_all + jnp.where(
+                    (rows_ga >= b0 + 2) & (rows_ga < b0 + g_all),
+                    (cur_cnt[g] - 1) // 2 + 1, 0)
 
         def bis_body(_, bc):
-            lo_, hi_ = bc                                   # (g_all, 1)
+            lo_, hi_ = bc                                  # (gb*g_all, 1)
             mid = _midpoint(lo_, hi_)
-            mid_rows = spread_all(mid)
+            mid_rows = spread_groups(mid, pool_all)        # (gb*g_all*8, 1)
 
-            def acc(s, rc):
-                lo = s * sw
-                keys = enc_all_s[pl.ds(0, 16), pl.ds(lo, sw)]
-                ck = jnp.sum((keys <= mid_rows[0:16]).astype(jnp.float32),
-                             axis=1, keepdims=True)
-                if exact_median:
-                    curt = jnp.concatenate(
-                        [current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0]
-                        * n_rec, axis=0)
-                    em = jnp.where(
-                        curt, enc_s[pl.ds(0, n_rec * 8), pl.ds(lo, sw)],
-                        IMAX)
-                    cm = jnp.sum((em <= mid_rows[16:]).astype(jnp.float32),
-                                 axis=1, keepdims=True)
-                    ck = jnp.concatenate([ck, cm], axis=0)
-                return rc + ck
+            def acc(i, rc):
+                parts = []
+                for g in range(gb):
+                    ok = active[g] & (i < slen[g])
+                    lo = slab_lo(g, i)
+                    mr = mid_rows[g * g_all * 8:(g + 1) * g_all * 8]
+                    keys = enc_all_s[pl.ds(g * 16, 16), pl.ds(lo, sw)]
+                    parts.append((keys <= mr[0:16]) & ok)
+                    if exact_median:
+                        # recenter encodings are masked with current on
+                        # the fly (no materialized per-step copy)
+                        curt = jnp.concatenate(
+                            [current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0]
+                            * n_rec, axis=0)
+                        em = jnp.where(
+                            curt,
+                            enc_s[pl.ds(g * n_rec * 8, n_rec * 8),
+                                  pl.ds(lo, sw)], IMAX)
+                        parts.append((em <= mr[16:]) & ok)
+                allv = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+                return rc + jnp.sum(allv, axis=1, keepdims=True)
 
             rcounts = jax.lax.fori_loop(
-                smin, smax + 1, acc,
-                jnp.zeros((g_all * 8, 1), jnp.float32))
+                0, max_slen, acc,
+                jnp.zeros((gb * g_all * 8, 1), jnp.float32))
             counts = jnp.dot(pool_all, rcounts,
                              preferred_element_type=jnp.float32,
                              precision=hp).astype(jnp.int32)
             take = counts >= ranks_all
-            return (jnp.where(take, lo_, mid + 1),
-                    jnp.where(take, mid, hi_))
-
-        # SMALL-STEP SKIP: when both candidate sets fit in k, the sample
-        # thresholds are degenerate (IMAX-1 selects the whole mask) and
-        # the exact medians are computable from the gathered block
-        # (gathered_median_offset) — the entire slab bisection is dead
-        # work. Early growth and sub-k instances take this branch, which
-        # replaces 33 range-slab passes (each ~2 MXU dots + a slab scan)
-        # with one stacked (32, k) in-register bisection.
-        small = (cur_cnt <= k) & (nb_cnt <= k)
+            return (jnp.where(take, lo_, mid + 1), jnp.where(take, mid, hi_))
 
         def _run_bis(_):
-            # hi0 = IMAX-1 keeps every probe mid strictly below the
-            # sentinel
+            # hi0 = IMAX-1 keeps every probe mid strictly below the sentinel
             out, _hi = jax.lax.fori_loop(
                 0, 33, bis_body,
-                (jnp.full((g_all, 1), -2 ** 31, jnp.int32),
-                 jnp.full((g_all, 1), 2 ** 31 - 2, jnp.int32)))
+                (jnp.full((gb * g_all, 1), -2 ** 31, jnp.int32),
+                 jnp.full((gb * g_all, 1), 2 ** 31 - 2, jnp.int32)))
             return out
 
         kth = jax.lax.cond(
-            small, lambda _: jnp.full((g_all, 1), IMAX - 1, jnp.int32),
+            all_small,
+            lambda _: jnp.full((gb * g_all, 1), IMAX - 1, jnp.int32),
             _run_bis, 0)
         # cnt <= k selects the whole mask: IMAX-1 admits every non-sentinel
-        thr_in = jnp.where(cur_cnt <= k, IMAX - 1, kth[0, 0])
-        thr_nb = jnp.where(nb_cnt <= k, IMAX - 1, kth[1, 0])
+        thr_in = [jnp.where(cur_cnt[g] <= k, IMAX - 1, kth[g * g_all, 0])
+                  for g in range(gb)]
+        thr_nb = [jnp.where(nb_cnt[g] <= k, IMAX - 1, kth[g * g_all + 1, 0])
+                  for g in range(gb)]
 
-        g_in, idx_in = sample_and_gather(0, thr_in, cur_cnt, ctr + 1,
-                                         b_in, cmin, cmax, smin, smax)
-        g_nb, idx_nb = sample_and_gather(8, thr_nb, nb_cnt, ctr + 3,
-                                         b_nb, cmin, cmax, smin, smax)
+        # --- selection masks + prefix ranks, range slabs only -------------
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (gb * 8, gb * 8), 0)
+        col_id = jax.lax.broadcasted_iota(jnp.int32, (gb * 8, gb * 8), 1)
+        # strictly-lower-triangular-within-room accumulator: row_base[i] =
+        # sum of same-room earlier-sublane row totals (exact through the
+        # MXU: counts < 2^24 are f32-exact)
+        lower_tri = (((row_id // 8) == (col_id // 8))
+                     & ((col_id % 8) < (row_id % 8))).astype(jnp.float32)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (gb * 8, n_slabs), 1)
+
+        def build_sel_ranks(row_off, thrs):
+            """Write each room's selection mask (keys <= its threshold) and
+            1-based global-row-major prefix ranks into sel_s / ranks_s rows
+            [g*8, g*8+8) — two bounded passes (per-slab row totals, then
+            in-slab prefix + cross-slab/cross-row offsets)."""
+            def ph1(i, rt):
+                parts = []
+                for g in range(gb):
+                    ok = active[g] & (i < slen[g])
+                    lo = slab_lo(g, i)
+                    slab = enc_all_s[pl.ds(g * 16 + row_off, 8),
+                                     pl.ds(lo, sw)]
+                    t = jnp.sum((slab <= thrs[g]).astype(jnp.int32),
+                                axis=1, keepdims=True)
+                    s_g = smin[g] + jnp.minimum(i, slen[g] - 1)
+                    colmask = (jax.lax.broadcasted_iota(
+                        jnp.int32, (8, n_slabs), 1) == s_g) & ok
+                    parts.append(jnp.where(colmask, t, 0))
+                return rt + jnp.concatenate(parts, axis=0)
+
+            rt = jax.lax.fori_loop(0, max_slen, ph1,
+                                   jnp.zeros((gb * 8, n_slabs), jnp.int32))
+            inc = rt
+            d = 1
+            while d < n_slabs:
+                inc = inc + jnp.concatenate(
+                    [jnp.zeros((gb * 8, d), jnp.int32),
+                     inc[:, :n_slabs - d]], axis=1)
+                d *= 2
+            row_prior = inc - rt                          # (gb*8, n_slabs)
+            row_tot = inc[:, n_slabs - 1:n_slabs]         # (gb*8, 1)
+            row_base = jnp.dot(lower_tri, row_tot.astype(jnp.float32),
+                               preferred_element_type=jnp.float32,
+                               precision=hp).astype(jnp.int32)
+
+            def ph2(i, _):
+                sels = []
+                for g in range(gb):
+                    lo = slab_lo(g, i)
+                    sels.append(enc_all_s[pl.ds(g * 16 + row_off, 8),
+                                          pl.ds(lo, sw)] <= thrs[g])
+                sel = jnp.concatenate(sels, axis=0)       # (gb*8, sw)
+                cum = sel.astype(jnp.int32)
+                d = 1
+                while d < sw:
+                    cum = cum + jnp.concatenate(
+                        [jnp.zeros((gb * 8, d), jnp.int32),
+                         cum[:, :sw - d]], axis=1)
+                    d *= 2
+                for g in range(gb):
+                    lo = slab_lo(g, i)
+                    s_g = smin[g] + jnp.minimum(i, slen[g] - 1)
+                    prior = jnp.sum(
+                        jnp.where(cidx[g * 8:(g + 1) * 8] == s_g,
+                                  row_prior[g * 8:(g + 1) * 8], 0),
+                        axis=1, keepdims=True)
+                    sel_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] = (
+                        sel[g * 8:(g + 1) * 8].astype(jnp.int32))
+                    ranks_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] = (
+                        cum[g * 8:(g + 1) * 8] + prior
+                        + row_base[g * 8:(g + 1) * 8])
+                return 0
+
+            jax.lax.fori_loop(0, max_slen, ph2, 0)
+
+        # --- rank-match gathers over bbox-intersecting chunks -------------
+        def gather_pass(targets, bs):
+            """Per room: gathered (16, k) features + (k, 1) exact global
+            indices of the sampled points. One shared chunk loop; each
+            room's MXU gather dot runs under its own intersection guard,
+            back-to-back with the other rooms' (shared loop control)."""
+            def body(i, carry):
+                out = list(carry)
+                for g in range(gb):
+                    cc = cmin[g] + jnp.minimum(i, clen[g] - 1)
+                    pred = (active[g] & (i < clen[g])
+                            & chunk_intersects(g, cc, bs[g]))
+
+                    def slab(c, g=g, cc=cc):
+                        gathered, idx_col = c
+                        lo = cc * chunk
+                        rr = ranks_s[pl.ds(g * 8, 8), pl.ds(lo, chunk)]
+                        ss = sel_s[pl.ds(g * 8, 8), pl.ds(lo, chunk)]
+                        flat_rr = rr.reshape(1, 8 * chunk)
+                        flat_ss = ss.reshape(1, 8 * chunk)
+                        hit = (targets[g] == flat_rr) & (flat_ss > 0)
+                        onehot = hit.astype(jnp.float32)
+                        feat_slab = jnp.concatenate(
+                            [feat_ref[g, :, pl.ds(r * p8 + lo, chunk)]
+                             for r in range(8)], axis=1)   # (16, 8*chunk)
+                        glob_row = jnp.concatenate(
+                            [r * p8 + lo + chunk_iota for r in range(8)],
+                            axis=1)
+                        # HIGHEST precision: default MXU would truncate the
+                        # gathered FEATURE VALUES to bf16
+                        gathered = gathered + jax.lax.dot_general(
+                            feat_slab, onehot, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=hp)
+                        # index accumulation must be BIT-EXACT (equality
+                        # compares drive the scatter): int32 VPU sum
+                        idx_col = idx_col + jnp.sum(
+                            jnp.where(hit, glob_row, 0), axis=1,
+                            keepdims=True)
+                        return gathered, idx_col
+
+                    out[g] = jax.lax.cond(pred, slab, lambda c: c, out[g])
+                return tuple(out)
+
+            init = tuple((jnp.zeros((16, k), jnp.float32),
+                          jnp.zeros((k, 1), jnp.int32)) for _ in range(gb))
+            return jax.lax.fori_loop(0, max_clen, body, init)
+
+        def sample_and_gather(row_off, thrs, cnts_, fill_off, bs):
+            build_sel_ranks(row_off, thrs)
+            targets = [
+                sample_targets(
+                    cnts_[g], k,
+                    uniform01(hash_keys(kcol,
+                                        streams[g] + sts[g].ctr + fill_off)))
+                for g in range(gb)]
+            return gather_pass(targets, bs)
+
+        b_in = [(st.mnx, st.mxx, st.mny, st.mxy, st.mnz, st.mxz)
+                for st in sts]
+        b_nb = [(st.mnx - 1, st.mxx + 1, st.mny - 1, st.mxy + 1,
+                 st.mnz - 1, st.mxz + 1) for st in sts]
+        res_in = sample_and_gather(0, thr_in, cur_cnt, 1, b_in)
+        res_nb = sample_and_gather(8, thr_nb, nb_cnt, 3, b_nb)
+        g_in = [res_in[g][0] for g in range(gb)]
+        idx_in = [res_in[g][1] for g in range(gb)]
+        g_nb = [res_nb[g][0] for g in range(gb)]
+        idx_nb = [res_nb[g][1] for g in range(gb)]
+
+        # --- recenter offsets ---------------------------------------------
+        def bisect_stack_pair(enc_stack, lo_rs, hi_rs):
+            """Both order statistics of every 16-row block in ONE stacked
+            33-pass bisection (rows [0:gb*16] lower, [gb*16:] upper).
+            hi0 = 2**31 - 2 is safe: every encoding bisected here is
+            strictly below INT32_MAX — sortable encodings of FINITE f32
+            features reach INT32_MAX only for a NaN payload, which
+            ``prepare_room`` never produces, and fill-slot sentinels ARE
+            IMAX but sit beyond the rank bound."""
+            m = enc_stack.shape[0]
+            enc2 = jnp.concatenate([enc_stack, enc_stack], axis=0)
+            ranks2 = jnp.concatenate([lo_rs, hi_rs], axis=0)
+
+            def body(_, carry):
+                lo, hi = carry
+                mid = _midpoint(lo, hi)
+                c = jnp.sum((enc2 <= mid).astype(jnp.int32), axis=1,
+                            keepdims=True)
+                take = c >= ranks2
+                return (jnp.where(take, lo, mid + 1),
+                        jnp.where(take, mid, hi))
+
+            v, _ = jax.lax.fori_loop(
+                0, 33, body, (jnp.full((2 * m, 1), -2 ** 31, jnp.int32),
+                              jnp.full((2 * m, 1), 2 ** 31 - 2, jnp.int32)))
+            return v[0:m], v[m:2 * m]
+
+        rmask = rec_rows_mask()
+
+        def gathered_median_offsets():
+            """Exact (16, 1) offsets for rooms with cur_cnt <= k: slots
+            [0, cnt) hold every current point exactly once (natural-order
+            fill, ``sample_targets``), so the full-mask order statistics
+            are computable from the gathered blocks — bit-identical to the
+            slab path — in one stacked in-register bisection."""
+            slot = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            encs, lo_rs, hi_rs = [], [], []
+            for g in range(gb):
+                enc = sortable_encode(g_in[g])
+                encs.append(jnp.where(slot < cur_cnt[g], enc, IMAX))
+                lo_rs.append(jnp.zeros((16, 1), jnp.int32)
+                             + (cur_cnt[g] - 1) // 2 + 1)
+                hi_rs.append(jnp.zeros((16, 1), jnp.int32)
+                             + cur_cnt[g] // 2 + 1)
+            v_lo, v_hi = bisect_stack_pair(
+                jnp.concatenate(encs, axis=0),
+                jnp.concatenate(lo_rs, axis=0),
+                jnp.concatenate(hi_rs, axis=0))
+            med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
+            return [jnp.where(rmask, med[g * 16:(g + 1) * 16], 0.0)
+                    for g in range(gb)]
+
+        def sampled_median_offsets():
+            """(16, 1) offsets from the 512 SAMPLED inliers (fast mode)."""
+            encs = [sortable_encode(g_in[g]) for g in range(gb)]
+            lo_r = jnp.full((gb * 16, 1), (k - 1) // 2 + 1, jnp.int32)
+            hi_r = jnp.full((gb * 16, 1), k // 2 + 1, jnp.int32)
+            v_lo, v_hi = bisect_stack_pair(jnp.concatenate(encs, axis=0),
+                                           lo_r, hi_r)
+            med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
+            return [jnp.where(rmask, med[g * 16:(g + 1) * 16], 0.0)
+                    for g in range(gb)]
+
+        def slab_median_offsets():
+            """Exact offsets from the fused bisection's lower medians: the
+            upper statistic is recovered with ONE bounded pass (if
+            count(enc <= v_lo) >= cnt//2+1 it IS v_lo, else the smallest
+            masked value > v_lo)."""
+            v_lo = jnp.concatenate(
+                [kth[g * g_all + 2:(g + 1) * g_all] for g in range(gb)],
+                axis=0)                                   # (gb*n_rec, 1)
+            hi_rk = stack_i32([cur_cnt[g] // 2 + 1 for g in range(gb)],
+                              rows_each=n_rec)
+            v_lo_rows = spread_groups(v_lo, pool_med)     # (gb*n_rec*8, 1)
+
+            def acc(i, carry):
+                cle, rmin = carry
+                cparts, mparts = [], []
+                for g in range(gb):
+                    ok = active[g] & (i < slen[g])
+                    lo = slab_lo(g, i)
+                    curt = jnp.concatenate(
+                        [current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0]
+                        * n_rec, axis=0)
+                    slab = jnp.where(
+                        curt & ok,
+                        enc_s[pl.ds(g * n_rec * 8, n_rec * 8),
+                              pl.ds(lo, sw)], IMAX)
+                    vr = v_lo_rows[g * n_rec * 8:(g + 1) * n_rec * 8]
+                    cparts.append((slab <= vr).astype(jnp.float32))
+                    mparts.append(jnp.where(slab > vr, slab, IMAX))
+                cle = cle + jnp.sum(jnp.concatenate(cparts, axis=0),
+                                    axis=1, keepdims=True)
+                rmin = jnp.minimum(rmin, jnp.min(
+                    jnp.concatenate(mparts, axis=0), axis=1, keepdims=True))
+                return cle, rmin
+
+            cle_rows, row_min = jax.lax.fori_loop(
+                0, max_slen, acc,
+                (jnp.zeros((gb * n_rec * 8, 1), jnp.float32),
+                 jnp.full((gb * n_rec * 8, 1), 2 ** 31 - 1, jnp.int32)))
+            c_le = jnp.dot(pool_med, cle_rows,
+                           preferred_element_type=jnp.float32,
+                           precision=hp).astype(jnp.int32)  # (gb*n_rec, 1)
+            rowg = jax.lax.broadcasted_iota(jnp.int32, (gb * n_rec, 1), 0)
+            gmin = jnp.zeros((gb * n_rec, 1), jnp.int32)
+            for q in range(gb * n_rec):
+                gmin = gmin + jnp.where(
+                    rowg == q, jnp.min(row_min[q * 8:(q + 1) * 8]), 0)
+            v_hi = jnp.where(c_le >= hi_rk, v_lo, gmin)
+            med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
+            row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+            offs = []
+            for g in range(gb):
+                off = jnp.zeros((16, 1), jnp.float32)
+                for fi, fr in enumerate(rec_rows):
+                    off = off + jnp.where(row16 == fr,
+                                          med[g * n_rec + fi, 0], 0.0)
+                offs.append(off)
+            return offs
 
         if exact_median:
-            off = jax.lax.cond(
-                small,
-                lambda _: gathered_median_offset(g_in, cur_cnt),
-                lambda _: median_offset_from(kth[2:, :], cur_cnt,
-                                             smin, smax), 0)
+            small_offs = gathered_median_offsets()
+            slab_offs = jax.lax.cond(
+                all_small,
+                lambda _: [jnp.zeros((16, 1), jnp.float32)
+                           for _ in range(gb)],
+                lambda _: slab_median_offsets(), 0)
+            offs = [jnp.where(small[g], small_offs[g], slab_offs[g])
+                    for g in range(gb)]
         else:
-            off = sampled_median_offset(g_in)
-        x_in = g_in - off
-        x_nb = g_nb - off
+            offs = sampled_median_offsets()
 
-        add_conf, rmv_conf = forward_confidences_t(w, x_in, x_nb)  # (1, k)
+        # --- batched forward + decisions ----------------------------------
+        x_in = jnp.concatenate([g_in[g] - offs[g] for g in range(gb)],
+                               axis=1)
+        x_nb = jnp.concatenate([g_nb[g] - offs[g] for g in range(gb)],
+                               axis=1)
+        add_conf, rmv_conf = forward_confidences_t(w, x_in, x_nb, gb=gb)
 
-        # decisions in column orientation (same hash values as a row draw;
-        # conf reshaped (1,k)->(k,1) — the lane/sublane relayout Mosaic
-        # accepts, cf. ops/masked_select t_col)
-        u_add = uniform01(hash_keys(kcol, stream + ctr + 4))
-        u_rmv = uniform01(hash_keys(kcol, stream + ctr + 5))
-        add_dec = (u_add < add_conf.reshape(k, 1)).astype(jnp.int32)
-        rmv_dec = (u_rmv < rmv_conf.reshape(k, 1)).astype(jnp.int32)
+        add_dec, rmv_dec = [], []
+        for g, st in enumerate(sts):
+            # decisions in column orientation (same hash values as a row
+            # draw; conf reshaped (1,k)->(k,1), cf. ops/masked_select t_col)
+            u_add = uniform01(hash_keys(kcol, streams[g] + st.ctr + 4))
+            u_rmv = uniform01(hash_keys(kcol, streams[g] + st.ctr + 5))
+            ac = add_conf[:, g * k:(g + 1) * k].reshape(k, 1)
+            rc = rmv_conf[:, g * k:(g + 1) * k].reshape(k, 1)
+            add_dec.append((u_add < ac).astype(jnp.int32))
+            rmv_dec.append((u_rmv < rc).astype(jnp.int32))
 
-        # sel_s/ranks_s are dead after the second gather — reuse as the
-        # scatter targets (chunked; no whole-room hit matrix in VMEM).
-        # Scatter bounds are SLAB-ALIGNED so the slab-width commit pass
-        # below never reads a stale chunk at the range edges.
-        c0 = smin * slab_chunks
-        c1 = (smax + 1) * slab_chunks - 1
-        add_slot_sel = scatter_pass(idx_nb, add_dec, sel_s, b_nb, c0, c1)
-        rmv_slot_sel = scatter_pass(idx_in, rmv_dec, ranks_s, b_in, c0, c1)
+        # --- scatters (sel_s/ranks_s are dead after the gathers — reuse as
+        # the scatter targets; bounds are SLAB-ALIGNED so the commit pass
+        # never reads a stale chunk at the range edges) --------------------
+        def scatter_pass(idxs, decs, out_ref, bs):
+            deci = [decs[g] > 0 for g in range(gb)]
+
+            def body(i, _):
+                for g in range(gb):
+                    cc = ac0[g] + jnp.minimum(i, aclen[g] - 1)
+                    ok = active[g] & (i < aclen[g])
+
+                    @pl.when(ok)
+                    def _(g=g, cc=cc):
+                        lo = cc * chunk
+                        inter = chunk_intersects(g, cc, bs[g])
+
+                        @pl.when(inter)
+                        def _():
+                            res = jnp.zeros((8, chunk), jnp.int32)
+                            for r in range(8):
+                                glob_row = r * p8 + lo + chunk_iota
+                                hit = (idxs[g] == glob_row) & deci[g]
+                                row_hit = jnp.max(hit.astype(jnp.int32),
+                                                  axis=0, keepdims=True)
+                                res = jnp.where(rows8 == r, row_hit, res)
+                            out_ref[pl.ds(g * 8, 8), pl.ds(lo, chunk)] = res
+
+                        @pl.when(~inter)
+                        def _():
+                            out_ref[pl.ds(g * 8, 8), pl.ds(lo, chunk)] = (
+                                jnp.zeros((8, chunk), jnp.int32))
+
+                return 0
+
+            jax.lax.fori_loop(0, max_aclen, body, 0)
+            # duplicate-slot OR membership (ml log-prob semantics,
+            # test_random_restart.py:251-271)
+            slot_sels = []
+            for g in range(gb):
+                dup = (idxs[g] == idxs[g].reshape(1, k)) & deci[g]
+                slot_sels.append(jnp.max(dup.astype(jnp.int32), axis=0,
+                                         keepdims=True))
+            return slot_sels
+
+        add_slot = scatter_pass(idx_nb, add_dec, sel_s, b_nb)
+        rmv_slot = scatter_pass(idx_in, rmv_dec, ranks_s, b_in)
 
         eps = jnp.float32(1e-10)
-        a_sel = add_slot_sel > 0
-        r_sel = rmv_slot_sel > 0
-        step_lp = (jnp.sum(jnp.log(jnp.where(a_sel, add_conf,
-                                             1.0 - add_conf) + eps))
-                   + jnp.sum(jnp.log(jnp.where(r_sel, rmv_conf,
-                                               1.0 - rmv_conf) + eps))
-                   ) / jnp.float32(k)
+        step_lp = []
+        for g in range(gb):
+            ac = add_conf[:, g * k:(g + 1) * k]
+            rc = rmv_conf[:, g * k:(g + 1) * k]
+            a_sel = add_slot[g] > 0
+            r_sel = rmv_slot[g] > 0
+            step_lp.append(
+                (jnp.sum(jnp.log(jnp.where(a_sel, ac, 1.0 - ac) + eps))
+                 + jnp.sum(jnp.log(jnp.where(r_sel, rc, 1.0 - rc) + eps))
+                 ) / jnp.float32(k))
 
         # --- commit pass: mask update + reductions, range-bounded ---------
-        # Outside [cmin, cmax] nothing changed: cur is empty there (range
-        # covers bbox(cur)+1) and the scatters only wrote range chunks, so
-        # new_cur == cur == 0 and current_s needs no write. On noneighbor
-        # the reference breaks before the update — write cur back
-        # unchanged (branch-free).
-        keep_cur = no_neighbor
+        # On noneighbor the reference breaks before the update — write cur
+        # back unchanged; inert rooms likewise (branch-free).
+        keep_cur = [no_neighbor[g] | ~active[g] for g in range(gb)]
 
-        def commit_body(s, c):
-            addc, newc, mn, mx = c
-            lo = s * sw
-            curs = current_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
-            adds = sel_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
-            rmvs = ranks_s[pl.ds(0, 8), pl.ds(lo, sw)] > 0
-            ncur = (curs | adds) & ~rmvs
-            commit = (curs & keep_cur) | (ncur & ~keep_cur)
-            current_s[pl.ds(0, 8), pl.ds(lo, sw)] = commit.astype(
-                jnp.int32)
-            c2 = jnp.sum(jnp.concatenate([adds, ncur], axis=0)
-                         .astype(jnp.int32), axis=1, keepdims=True)
-            vxyz = vox_ref[0, pl.ds(0, 24), pl.ds(lo, sw)]
-            nc3 = jnp.concatenate([ncur] * 3, axis=0)       # (24, sw)
-            mn = jnp.minimum(mn, jnp.min(jnp.where(nc3, vxyz, BIG),
+        def commit_body(i, carry):
+            acc_cnt, mn, mx = carry
+            cparts, mnp, mxp = [], [], []
+            for g in range(gb):
+                ok = active[g] & (i < slen[g])
+                lo = slab_lo(g, i)
+                curs = current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
+                adds = sel_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
+                rmvs = ranks_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
+                ncur = (curs | adds) & ~rmvs
+                commit = (curs & keep_cur[g]) | (ncur & ~keep_cur[g])
+                current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] = commit.astype(
+                    jnp.int32)
+                cparts.append(adds & ok)
+                cparts.append(ncur & ok)
+                vxyz = vox_ref[g, pl.ds(0, 24), pl.ds(lo, sw)]
+                nc3 = jnp.concatenate([ncur & ok] * 3, axis=0)
+                mnp.append(jnp.where(nc3, vxyz, BIG))
+                mxp.append(jnp.where(nc3, vxyz, -BIG))
+            acc_cnt = acc_cnt + jnp.sum(
+                jnp.concatenate(cparts, axis=0).astype(jnp.int32),
+                axis=1, keepdims=True)
+            mn = jnp.minimum(mn, jnp.min(jnp.concatenate(mnp, axis=0),
                                          axis=1, keepdims=True))
-            mx = jnp.maximum(mx, jnp.max(jnp.where(nc3, vxyz, -BIG),
+            mx = jnp.maximum(mx, jnp.max(jnp.concatenate(mxp, axis=0),
                                          axis=1, keepdims=True))
-            return addc + jnp.sum(c2[0:8]), newc + jnp.sum(c2[8:16]), mn, mx
+            return acc_cnt, mn, mx
 
-        add_cnt, new_cnt, mins, maxs = jax.lax.fori_loop(
-            smin, smax + 1, commit_body,
-            (jnp.int32(0), jnp.int32(0),
-             jnp.full((24, 1), BIG, jnp.int32),
-             jnp.full((24, 1), -BIG, jnp.int32)))
-        updated = add_cnt > 0
-        vmin_x = jnp.min(mins[0:8])
-        vmax_x = jnp.max(maxs[0:8])
-        vmin_y = jnp.min(mins[8:16])
-        vmax_y = jnp.max(maxs[8:16])
-        vmin_z = jnp.min(mins[16:24])
-        vmax_z = jnp.max(maxs[16:24])
-        within = ((vmin_x >= smin_x) & (vmin_y >= smin_y) & (vmin_z >= smin_z)
-                  & (vmax_x <= smax_x) & (vmax_y <= smax_y)
-                  & (vmax_z <= smax_z))
-        stuck_stop = within & (stuck >= 1)
-        new_stuck = jnp.where(within, stuck + 1, 0)
+        ccnt, mins, maxs = jax.lax.fori_loop(
+            0, max_slen, commit_body,
+            (jnp.zeros((gb * 16, 1), jnp.int32),
+             jnp.full((gb * 24, 1), BIG, jnp.int32),
+             jnp.full((gb * 24, 1), -BIG, jnp.int32)))
 
-        new_steps = steps + 1
-        hit_cap = new_steps >= max_steps
-        done_now = (no_neighbor | ~updated | (new_cnt == 0) | stuck_stop
-                    | hit_cap)
-        new_reason = jnp.where(
-            no_neighbor, REASON_NONEIGHBOR,
-            jnp.where(~updated | (new_cnt == 0), REASON_NOEXPAND,
-                      jnp.where(stuck_stop, REASON_STUCK,
-                                jnp.where(hit_cap, REASON_MAXSTEPS, 0))))
+        # --- per-room termination bookkeeping ------------------------------
+        out_sts, done_nows, cnts_commit, reasons = [], [], [], []
+        for g, st in enumerate(sts):
+            add_cnt = jnp.sum(ccnt[g * 16:g * 16 + 8])
+            new_cnt = jnp.sum(ccnt[g * 16 + 8:g * 16 + 16])
+            vmin_x = jnp.min(mins[g * 24:g * 24 + 8])
+            vmax_x = jnp.max(maxs[g * 24:g * 24 + 8])
+            vmin_y = jnp.min(mins[g * 24 + 8:g * 24 + 16])
+            vmax_y = jnp.max(maxs[g * 24 + 8:g * 24 + 16])
+            vmin_z = jnp.min(mins[g * 24 + 16:g * 24 + 24])
+            vmax_z = jnp.max(maxs[g * 24 + 16:g * 24 + 24])
+            updated = add_cnt > 0
+            within = ((vmin_x >= st.smnx) & (vmin_y >= st.smny)
+                      & (vmin_z >= st.smnz) & (vmax_x <= st.smxx)
+                      & (vmax_y <= st.smxy) & (vmax_z <= st.smxz))
+            stuck_stop = within & (st.stuck >= 1)
+            new_stuck = jnp.where(within, st.stuck + 1, 0)
+            new_steps = st.steps + 1
+            hit_cap = new_steps >= max_steps
+            nng = no_neighbor[g]
+            done_now = (nng | ~updated | (new_cnt == 0) | stuck_stop
+                        | hit_cap)
+            reason = jnp.where(
+                nng, REASON_NONEIGHBOR,
+                jnp.where(~updated | (new_cnt == 0), REASON_NOEXPAND,
+                          jnp.where(stuck_stop, REASON_STUCK,
+                                    jnp.where(hit_cap, REASON_MAXSTEPS, 0))))
 
-        def upd(v_new, v_old):
-            return jnp.where(done_now, v_old, v_new)
+            def roll(new, old, g=g, done_now=done_now, nng=nng):
+                # bbox/stuck roll forward only while growing (post-done
+                # values feed nothing — the commit uses this step's locals)
+                return jnp.where(active[g] & ~done_now & ~nng, new, old)
 
-        return (done | done_now,
-                jnp.where(no_neighbor, steps, new_steps),
-                upd(new_stuck, stuck),
-                upd(vmin_x, min_x), upd(vmin_y, min_y), upd(vmin_z, min_z),
-                upd(vmax_x, max_x), upd(vmax_y, max_y), upd(vmax_z, max_z),
-                upd(jnp.minimum(smin_x, vmin_x), smin_x),
-                upd(jnp.minimum(smin_y, vmin_y), smin_y),
-                upd(jnp.minimum(smin_z, vmin_z), smin_z),
-                upd(jnp.maximum(smax_x, vmax_x), smax_x),
-                upd(jnp.maximum(smax_y, vmax_y), smax_y),
-                upd(jnp.maximum(smax_z, vmax_z), smax_z),
-                jnp.where(no_neighbor, log_prob, log_prob + step_lp),
-                jnp.where(done_now, new_reason, reason),
-                ctr + 8)
+            stepped = active[g] & ~nng
+            out_sts.append(st._replace(
+                steps=jnp.where(stepped, new_steps, st.steps),
+                stuck=roll(new_stuck, st.stuck),
+                mnx=roll(vmin_x, st.mnx), mny=roll(vmin_y, st.mny),
+                mnz=roll(vmin_z, st.mnz), mxx=roll(vmax_x, st.mxx),
+                mxy=roll(vmax_y, st.mxy), mxz=roll(vmax_z, st.mxz),
+                smnx=roll(jnp.minimum(st.smnx, vmin_x), st.smnx),
+                smny=roll(jnp.minimum(st.smny, vmin_y), st.smny),
+                smnz=roll(jnp.minimum(st.smnz, vmin_z), st.smnz),
+                smxx=roll(jnp.maximum(st.smxx, vmax_x), st.smxx),
+                smxy=roll(jnp.maximum(st.smxy, vmax_y), st.smxy),
+                smxz=roll(jnp.maximum(st.smxz, vmax_z), st.smxz),
+                log_prob=jnp.where(stepped, st.log_prob + step_lp[g],
+                                   st.log_prob),
+                ctr=jnp.where(active[g], st.ctr + 8, st.ctr)))
+            done_nows.append(done_now & active[g])
+            cnts_commit.append(jnp.where(nng, cur_cnt[g], new_cnt))
+            reasons.append(reason)
+        return out_sts, done_nows, cnts_commit, reasons
 
-    def outer_body(carry):
-        inst, cluster_id, ctr, _remaining = carry
-        vis = visited_s[...] > 0
-        tried = tried_s[...] > 0
-        cand = valid & ~vis & ~tried
-        seed_rank = jnp.min(jnp.where(cand, rank, BIG))
-        seed_mask = cand & (rank == seed_rank)
-        tried_s[...] = (tried | seed_mask).astype(jnp.int32)
-        current_s[...] = seed_mask.astype(jnp.int32)
-        sx = jnp.sum(jnp.where(seed_mask, vox_x, 0))
-        sy = jnp.sum(jnp.where(seed_mask, vox_y, 0))
-        sz = jnp.sum(jnp.where(seed_mask, vox_z, 0))
-        seed_idx = jnp.sum(jnp.where(seed_mask, glob_idx, 0))
-        target = jnp.sum(jnp.where(seed_mask, obj, 0))
+    # ---------------------------------------------------------------------
+    # Phase C: instance commit (per room, when its instance terminated)
+    # ---------------------------------------------------------------------
 
-        init = (jnp.bool_(False), jnp.int32(0), jnp.int32(0),
-                sx, sy, sz, sx, sy, sz, sx, sy, sz, sx, sy, sz,
-                jnp.float32(0.0), jnp.int32(0), ctr)
-        final = jax.lax.while_loop(lambda c: ~c[0], inner_body, init)
-        (_d, steps, _stk, *_rest) = final
-        log_prob = final[15]
-        reason = final[16]
-        new_ctr = final[17] + 8
+    def commit_room(g, st, do_commit, cnt, reason):
+        def do(s):
+            cur = current_s[pl.ds(g * 8, 8), :] > 0
+            vis = visited_s[pl.ds(g * 8, 8), :] > 0
+            vis2 = vis | cur
+            # a region always commits visited over its mask (reference
+            # stop_growing marks visited regardless of cluster size)
+            visited_s[pl.ds(g * 8, 8), :] = vis2.astype(jnp.int32)
+            kept = cnt > cluster_threshold
+            labels_ref[g] = jnp.where(cur & kept, s.cluster_id,
+                                      labels_ref[g])
+            rank_g = rank_ref[g]
+            valid_g = rank_g < BIG
+            gt_cnt = jnp.sum(jnp.where(valid_g & (obj_ref[g] == s.target),
+                                       1, 0))
+            # masked instance-record write (axon rejects scalar VMEM stores)
+            row_i = jax.lax.broadcasted_iota(jnp.int32,
+                                             (max_instances, 8), 0)
+            col_i = jax.lax.broadcasted_iota(jnp.int32,
+                                             (max_instances, 8), 1)
+            fields = [s.seed_idx.astype(jnp.float32),
+                      s.target.astype(jnp.float32),
+                      s.steps.astype(jnp.float32),
+                      cnt.astype(jnp.float32),
+                      gt_cnt.astype(jnp.float32),
+                      reason.astype(jnp.float32),
+                      s.log_prob,
+                      kept.astype(jnp.float32)]
+            rec = jnp.zeros((max_instances, 8), jnp.float32)
+            for i, f in enumerate(fields):
+                rec = rec + jnp.where(col_i == i, f, 0.0)
+            log_ref[g] = jnp.where(row_i == s.inst, rec, log_ref[g])
+            trd = tried_s[pl.ds(g * 8, 8), :] > 0
+            remaining = jnp.sum(jnp.where(valid_g & ~vis2 & ~trd, 1, 0))
+            inst2 = s.inst + 1
+            # the kernel seeds until every point is visited-or-tried (the
+            # reference seeds EVERY unvisited point,
+            # test_region_grow.py:186-188); inst < p is a pure safety net
+            return s._replace(
+                inst=inst2,
+                cluster_id=jnp.where(kept, s.cluster_id + 1, s.cluster_id),
+                ctr=s.ctr + 8,
+                need_seed=jnp.bool_(True),
+                remaining=remaining,
+                fully_done=(remaining == 0) | (inst2 >= p))
 
-        cur = current_s[...] > 0
-        cnt = jnp.sum(jnp.where(cur, 1, 0))
-        visited_s[...] = ((visited_s[...] > 0) | cur).astype(jnp.int32)
-        kept = cnt > cluster_threshold
-        labels_ref[0] = jnp.where(cur & kept, cluster_id, labels_ref[0])
-        gt_cnt = jnp.sum(jnp.where(valid & (obj == target), 1, 0))
+        return jax.lax.cond(do_commit, do, lambda s: s, st)
 
-        # masked instance-record write (axon rejects scalar VMEM stores)
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (max_instances, 8), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (max_instances, 8), 1)
-        fields = [seed_idx.astype(jnp.float32),
-                  target.astype(jnp.float32),
-                  steps.astype(jnp.float32),
-                  cnt.astype(jnp.float32),
-                  gt_cnt.astype(jnp.float32),
-                  reason.astype(jnp.float32),
-                  log_prob,
-                  kept.astype(jnp.float32)]
-        rec = jnp.zeros((max_instances, 8), jnp.float32)
-        for i, f in enumerate(fields):
-            rec = rec + jnp.where(col_i == i, f, 0.0)
-        log_ref[0] = jnp.where(row_i == inst, rec, log_ref[0])
+    # ---------------------------------------------------------------------
+    # The merged loop
+    # ---------------------------------------------------------------------
 
-        vis2 = visited_s[...] > 0
-        tried2 = tried_s[...] > 0
-        remaining = jnp.sum(jnp.where(valid & ~vis2 & ~tried2, 1, 0))
-        return (inst + 1, jnp.where(kept, cluster_id + 1, cluster_id),
-                new_ctr, remaining)
+    n_valid0 = [jnp.sum(jnp.where(rank_ref[g] < BIG, 1, 0))
+                for g in range(gb)]
+    zi = jnp.int32(0)
 
-    def outer_cond(carry):
-        inst, _cid, _ctr, remaining = carry
-        # seed until every point is visited-or-tried (the reference seeds
-        # EVERY unvisited point, test_region_grow.py:186-188); the instance
-        # LOG just stops recording past max_instances rows. Each iteration
-        # marks >= 1 new point tried, so inst < p is a pure safety net.
-        return (remaining > 0) & (inst < p)
+    def init_st(g):
+        return _RoomSt(
+            fully_done=n_valid0[g] == 0, need_seed=jnp.bool_(True),
+            inst=zi, cluster_id=jnp.int32(1), ctr=zi,
+            remaining=n_valid0[g], steps=zi, stuck=zi,
+            mnx=zi, mny=zi, mnz=zi, mxx=zi, mxy=zi, mxz=zi,
+            smnx=zi, smny=zi, smnz=zi, smxx=zi, smxy=zi, smxz=zi,
+            log_prob=jnp.float32(0.0), target=zi, seed_idx=zi)
 
-    n_valid0 = jnp.sum(jnp.where(valid, 1, 0))
-    inst, cluster_id, _ctr, _ = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (jnp.int32(0), jnp.int32(1), jnp.int32(0), n_valid0))
+    def loop_cond(sts):
+        alive = ~sts[0].fully_done
+        for g in range(1, gb):
+            alive = alive | ~sts[g].fully_done
+        return alive
+
+    def loop_body(sts):
+        sts = tuple(seed_room(g, st) for g, st in enumerate(sts))
+        out_sts, done_nows, cnts_c, reasons = grow_step(list(sts))
+        return tuple(
+            commit_room(g, out_sts[g], done_nows[g], cnts_c[g], reasons[g])
+            for g in range(gb))
+
+    sts = jax.lax.while_loop(loop_cond, loop_body,
+                             tuple(init_st(g) for g in range(gb)))
 
     row_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    counters = (jnp.where((row_c == 0) & (col_c == 0), cluster_id - 1, 0)
-                + jnp.where((row_c == 0) & (col_c == 1), inst, 0))
-    counters_ref[0] = counters
+    for g in range(gb):
+        counters_ref[g] = (
+            jnp.where((row_c == 0) & (col_c == 0), sts[g].cluster_id - 1, 0)
+            + jnp.where((row_c == 0) & (col_c == 1), sts[g].inst, 0))
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
+def rooms_per_program_budget(p: int, feature_size: int,
+                             budget_bytes: int = 90 * 2 ** 20) -> int:
+    """How many P-point rooms fit one program's VMEM (capped at 8).
+
+    Per-room bytes: feat 64, vox 12, rank 4, obj 4, labels 4, five (8, P8)
+    masks 20, recenter encodings 4*n_rec, sample keys 8 — all per padded
+    point. The 90 MB budget leaves the 126 MB scoped-vmem limit room for
+    the replicated weights (~3.3 MB) and the gb-row slab temporaries."""
+    n_rec = 2 + (feature_size - 6)
+    per_room = (64 + 12 + 4 + 4 + 4 + 20 + 4 * n_rec + 8) * p
+    return int(max(1, min(8, budget_bytes // per_room)))
+
+
 @functools.lru_cache(maxsize=16)
 def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
                       cluster_threshold: int, max_instances: int,
                       exact_median: bool, n_weights: int,
-                      interpret: bool = False):
+                      interpret: bool = False, rooms_per_program: int = 1):
     """dp-sharded fused segmentation over the room axis: each device runs
-    the whole-room kernel on its local rooms (no collectives; weights
-    replicated). Callers pad the room count to a multiple of the dp size."""
+    the multi-room kernel on its local rooms (no collectives; weights
+    replicated). Callers pad the room count to a multiple of
+    dp * rooms_per_program."""
     from jax.sharding import PartitionSpec as PS
 
     from ..parallel.mesh import DP_AXIS
@@ -1158,7 +1387,7 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
             feature_size=feature_size, max_steps=max_steps,
             cluster_threshold=cluster_threshold,
             max_instances=max_instances, exact_median=exact_median,
-            interpret=interpret)
+            interpret=interpret, rooms_per_program=rooms_per_program)
 
     shard = PS(DP_AXIS)
     rep = PS()
@@ -1177,23 +1406,27 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
                            kw["max_steps"], kw["cluster_threshold"],
                            kw.get("max_instances", 512),
                            kw.get("exact_median", True), len(weights),
-                           kw.get("interpret", False))
+                           kw.get("interpret", False),
+                           kw.get("rooms_per_program", 1))
     return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
-    "exact_median", "interpret"))
+    "exact_median", "interpret", "rooms_per_program"))
 def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
-                     exact_median: bool = True, interpret: bool = False):
-    """Segment G rooms (grid-sequential) fully on device.
+                     exact_median: bool = True, interpret: bool = False,
+                     rooms_per_program: int = 1):
+    """Segment G rooms fully on device, ``rooms_per_program`` concurrently
+    per grid step (reproduces rooms_per_program=1 up to float-ULP forward
+    differences; see ``_grow_kernel``).
 
     seeds (G, 1) i32 (per-room PRNG seeds); feat (G, 16, P) f32;
     vox (G, 24, P8) i32; rank/obj (G, 8, P8) i32;
     tbl (G, 8, n_chunks) i32 per-chunk voxel bounds (``chunk_bounds``);
-    weights = pack_lrgnet_weights list.
+    weights = pack_lrgnet_weights list. G must divide by rooms_per_program.
     Returns (labels (G, 8, P8) i32, log (G, max_instances, 8) f32,
     counters (G, 8, 128) i32).
     """
@@ -1206,12 +1439,17 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
         raise ValueError(
             f"padded room width P={p} gives p8={p8} not divisible by the "
             f"chunk width {chunk}; use a power-of-two bucket size")
+    gb = rooms_per_program
+    if g_rooms % gb != 0:
+        raise ValueError(
+            f"room count {g_rooms} not divisible by rooms_per_program {gb}; "
+            f"pad with inert rooms")
     n_rec = 2 + (feature_size - 6)
 
     kernel = functools.partial(
-        _grow_kernel, k=k, feature_size=feature_size, max_steps=max_steps,
-        cluster_threshold=cluster_threshold, max_instances=max_instances,
-        chunk=chunk, exact_median=exact_median)
+        _grow_kernel, gb=gb, k=k, feature_size=feature_size,
+        max_steps=max_steps, cluster_threshold=cluster_threshold,
+        max_instances=max_instances, chunk=chunk, exact_median=exact_median)
 
     w_specs = [pl.BlockSpec(wm.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM) for wm in weights]
@@ -1221,27 +1459,27 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
         jax.ShapeDtypeStruct((g_rooms, 8, 128), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec((1, 8, p8), lambda i: (i, 0, 0),
+        pl.BlockSpec((gb, 8, p8), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, max_instances, 8), lambda i: (i, 0, 0),
+        pl.BlockSpec((gb, max_instances, 8), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        pl.BlockSpec((gb, 8, 128), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
-        grid=(g_rooms,),
+        grid=(g_rooms // gb,),
         in_specs=[
             # whole (G, 1) seed table in SMEM, indexed by program_id (a
             # blocked (1, 1) SMEM spec violates the tiling constraint)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, 16, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, p8), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, 24, p8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, p8), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, 8, p8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, p8), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, 8, p8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             # whole (G, 8, n_chunks) chunk-bounds table in SMEM (scalar
             # reads drive the chunk-skip conditionals)
@@ -1250,23 +1488,23 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((8, p8), jnp.int32),     # visited
-            pltpu.VMEM((8, p8), jnp.int32),     # tried
-            pltpu.VMEM((8, p8), jnp.int32),     # current
-            pltpu.VMEM((8, p8), jnp.int32),     # sampling selection mask
-            pltpu.VMEM((8, p8), jnp.int32),     # prefix ranks
-            pltpu.VMEM((n_rec * 8, p8), jnp.int32),   # sortable feat enc
+            pltpu.VMEM((gb * 8, p8), jnp.int32),     # visited
+            pltpu.VMEM((gb * 8, p8), jnp.int32),     # tried
+            pltpu.VMEM((gb * 8, p8), jnp.int32),     # current
+            pltpu.VMEM((gb * 8, p8), jnp.int32),     # sampling selection
+            pltpu.VMEM((gb * 8, p8), jnp.int32),     # prefix ranks
+            # per-room sortable feature encodings (exact-median source)
+            pltpu.VMEM((gb * n_rec * 8, p8), jnp.int32),
             # per-step MASKED sample keys (sentinel INT32_MAX outside each
-            # group's mask): rows 0-7 inlier keys, 8-15 neighbor keys.
-            # Written only for chunks in the step's bbox range; every
-            # later per-step pass reads just that range. Recenter-feature
-            # encodings are read straight from enc_s with the current
-            # mask applied on the fly (no materialized copy).
-            pltpu.VMEM((16, p8), jnp.int32),
+            # group's mask): per room, 8 inlier + 8 neighbor key rows.
+            # Written only for slabs in each room's bbox range; every
+            # later per-step pass reads just that range.
+            pltpu.VMEM((gb * 16, p8), jnp.int32),
         ],
         # the default 16 MB scoped-vmem budget is ~30 KB short at P=16384
         # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has
-        # 128 MB of VMEM and the P=524288 bucket needs ~115 MB of it
+        # 128 MB of VMEM and the batched buckets are sized to ~90 MB of it
+        # (rooms_per_program_budget)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,

@@ -184,6 +184,44 @@ def test_fused_segment_matches_engine_quality(tiny_rooms, trained):
     np.testing.assert_array_equal(res_f.cluster_label, res_f2.cluster_label)
 
 
+def test_batched_rooms_bit_identical(tiny_rooms, trained):
+    """Multi-room programs are BIT-IDENTICAL to one-room-at-a-time
+    execution: each room's PRNG stream depends only on its seed table entry
+    and draw counter, and the batched passes keep rooms in disjoint row
+    blocks (``_grow_kernel`` batching invariant)."""
+    params, mcfg = trained
+    rfs = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
+           for r in tiny_rooms]
+    p = max(1024, 1 << (max(len(rf.points) for rf in rfs) - 1).bit_length())
+    g = len(rfs)
+    p8 = p // 8
+    chunk = fg.fused_chunk(p8)
+    feat = np.zeros((g, 16, p), np.float32)
+    vox = np.full((g, 24, p8), fg.PAD_VOX, np.int32)
+    rank = np.full((g, 8, p8), 2 ** 30, np.int32)
+    obj = np.zeros((g, 8, p8), np.int32)
+    tbl = np.zeros((g, 8, p8 // chunk), np.int32)
+    seeds = np.zeros((g, 1), np.int32)
+    for i, rf in enumerate(rfs):
+        feat[i], vox[i], rank[i], obj[i], _ = fg.pack_room(rf, p, 13)
+        seeds[i, 0] = 1000003 + i
+        tbl[i] = fg.chunk_bounds(vox[i], rank[i], chunk)
+    kw = dict(k=128, feature_size=13, max_steps=60, cluster_threshold=10,
+              max_instances=32, exact_median=True, interpret=True)
+    args = [jnp.asarray(x) for x in (seeds, feat, vox, rank, obj, tbl)]
+    w = [jnp.asarray(a) for a in fg.pack_lrgnet_weights(params, 13)]
+    l1, lg1, c1 = fg.fused_grow_rooms(*args, w, rooms_per_program=1, **kw)
+    lg_, lgg, cg = fg.fused_grow_rooms(*args, w, rooms_per_program=g, **kw)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(lg_))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(cg))
+    lg1, lgg = np.asarray(lg1), np.asarray(lgg)
+    # all integer log fields identical; log_prob (col 6) accumulates in a
+    # wider matmul and may differ by float ULPs
+    np.testing.assert_array_equal(lg1[..., :6], lgg[..., :6])
+    np.testing.assert_array_equal(lg1[..., 7], lgg[..., 7])
+    np.testing.assert_allclose(lg1[..., 6], lgg[..., 6], atol=1e-4)
+
+
 def test_split_program_batches_bounds_and_covers():
     """Per-program padded-point budget: dp-aligned chunks, full coverage,
     order preserved (the tunnel worker kills ~10-min executes)."""
