@@ -29,6 +29,13 @@ def main(argv=None):
     ap.add_argument("--fast", action="store_true",
                     help="Pallas stratified sampling + sampled-subset median "
                          "(validated ~equal NMI, ~1.4x faster; TPU only)")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused multi-room Pallas kernel: all restart "
+                         "attempts grow as concurrent on-chip lanes "
+                         "(fused-engine speed; TPU)")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    help="skip the untimed warmup run (timing will include "
+                         "cold compiles)")
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--models-dir", default="models")
     ap.add_argument("--model", default=None)
@@ -60,9 +67,30 @@ def main(argv=None):
                           resolution=args.resolution,
                           cluster_threshold=args.cluster_threshold,
                           seed=args.seed)
-        results = segment_rooms(params, mcfg, feats, gcfg,
-                                num_restarts=args.num_restarts,
-                                scoring=args.scoring, verbose=args.verbose)
+        import time
+
+        def run_grow(verbose):
+            if args.fused:
+                from ..engine.grow import segment_rooms_fused
+                return segment_rooms_fused(
+                    params, mcfg, feats, gcfg,
+                    num_restarts=args.num_restarts, scoring=args.scoring,
+                    verbose=verbose)
+            return segment_rooms(params, mcfg, feats, gcfg,
+                                 num_restarts=args.num_restarts,
+                                 scoring=args.scoring, verbose=verbose)
+
+        t_cold = 0.0
+        if args.warmup:
+            t_cold = time.time()
+            run_grow(args.verbose)
+            t_cold = time.time() - t_cold
+        t_grow = time.time()
+        results = run_grow(args.verbose and not args.warmup)
+        t_grow = time.time() - t_grow
+        if args.warmup:
+            print("grow cold (compile+run) %.2fs, warm %.2fs"
+                  % (t_cold, t_grow))
         for i, rid in enumerate(kept):
             m, _ = room_metrics(feats[i].obj_id, results[i].cluster_label)
             agg.append(m)

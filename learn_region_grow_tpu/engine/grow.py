@@ -823,7 +823,8 @@ class FusedSegmenter:
                  cfg: GrowConfig, *, min_bucket_size: int = 1024,
                  max_instances: int = 512, exact_median: bool = True,
                  interpret: bool = False, mesh=None, verbose: bool = False,
-                 truncation_warnings: bool = True):
+                 truncation_warnings: bool = True, num_restarts: int = 1,
+                 scoring: str = "ml"):
         from ..ops import fused_grow as _fg
 
         if model_cfg.lite is not None:
@@ -850,6 +851,10 @@ class FusedSegmenter:
         self.interpret = interpret
         self.verbose = verbose
         self.truncation_warnings = truncation_warnings
+        if scoring not in ("ml", "np"):
+            raise ValueError(f"unknown restart scoring {scoring!r}")
+        self.num_restarts = num_restarts
+        self.scoring_ml = scoring == "ml"
         self.weights = [jnp.asarray(a) for a in
                         _fg.pack_lrgnet_weights(params, cfg.feature_size)]
         self._pending: List[dict] = []
@@ -859,7 +864,7 @@ class FusedSegmenter:
         """Rooms of this size that one submit() fills best (one program)."""
         psize = _bucket_size(n_points, self.min_bucket_size)
         return self._fg.rooms_per_program_budget(
-            psize, self.cfg.feature_size) * self.dp
+            psize, self.cfg.feature_size, self.num_restarts) * self.dp
 
     def submit(self, rooms: Dict[int, RoomFeatures]) -> None:
         """Pack ``rooms`` (id -> features) and dispatch their programs."""
@@ -884,7 +889,8 @@ class FusedSegmenter:
         # rooms per program: as many rooms as fit one program's VMEM grow
         # CONCURRENTLY (the merged multi-room kernel); pad the room count
         # so each device's grid divides evenly (inert tail rooms)
-        gb = min(_fg.rooms_per_program_budget(psize, cfg.feature_size),
+        gb = min(_fg.rooms_per_program_budget(psize, cfg.feature_size,
+                                              self.num_restarts),
                  -(-g // self.dp))  # never pad beyond per-device rooms
         gp = -(-g // (gb * self.dp)) * (gb * self.dp)
         n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
@@ -913,7 +919,9 @@ class FusedSegmenter:
                   cluster_threshold=cfg.cluster_threshold,
                   max_instances=self.max_instances,
                   exact_median=self.exact_median,
-                  interpret=self.interpret, rooms_per_program=gb)
+                  interpret=self.interpret, rooms_per_program=gb,
+                  lanes_per_room=self.num_restarts,
+                  scoring_ml=self.scoring_ml)
         t0 = time.time()
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
@@ -995,8 +1003,9 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         interpret: bool = False,
                         mesh=None,
                         verbose: bool = False,
-                        truncation_warnings: bool = True
-                        ) -> List[RoomResult]:
+                        truncation_warnings: bool = True,
+                        num_restarts: int = 1,
+                        scoring: str = "ml") -> List[RoomResult]:
     """Segment rooms with the fused multi-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
     seed pick in curvature order, grow-to-termination, visited/cluster
@@ -1021,12 +1030,19 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
     rooms <= ``fused_grow.MAX_FUSED_POINTS`` (524288) padded points (VMEM
     budget; per-step temporaries are column-chunked so only the room block
     itself scales with P).
+
+    ``num_restarts`` > 1 grows that many attempts of every seed as
+    concurrent kernel lanes and commits the best by ``scoring`` ('ml' =
+    cumulative decision log-prob, 'np' = point count) - the reference's
+    random-restart variant (``test_random_restart.py:169-197``) with a
+    per-attempt rather than shared step budget.
     """
     seg = FusedSegmenter(
         params, model_cfg, cfg, min_bucket_size=min_bucket_size,
         max_instances=max_instances, exact_median=exact_median,
         interpret=interpret, mesh=mesh, verbose=verbose,
-        truncation_warnings=truncation_warnings)
+        truncation_warnings=truncation_warnings, num_restarts=num_restarts,
+        scoring=scoring)
     seg.submit({i: rf for i, rf in enumerate(rooms)})
     res = seg.collect()
     return [res[i] for i in range(len(rooms))]

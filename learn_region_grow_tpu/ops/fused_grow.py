@@ -436,18 +436,28 @@ def _unpack_weight_refs(refs):
 
 
 class _RoomSt(NamedTuple):
-    """Per-room state of the merged seed/grow/commit machine (one entry per
-    room resident in the program; every field is a scalar)."""
+    """Room-level state of the merged machine (scalars)."""
 
     fully_done: jnp.ndarray   # bool — no unvisited-untried candidates left
     need_seed: jnp.ndarray    # bool — pick a new seed next iteration
     inst: jnp.ndarray         # i32 — instances grown so far
     cluster_id: jnp.ndarray   # i32 — next cluster label (1-based)
-    ctr: jnp.ndarray          # i32 — PRNG draw counter
     remaining: jnp.ndarray    # i32 — unvisited-untried valid points
-    steps: jnp.ndarray        # i32 — steps of the CURRENT instance
+    target: jnp.ndarray       # i32 — GT obj id of the current seed
+    seed_idx: jnp.ndarray     # i32 — flat slot of the current seed
+
+
+class _LaneSt(NamedTuple):
+    """Lane-level state: one lane = one growth attempt of its room's
+    current seed (``lanes_per_room`` restart attempts run concurrently;
+    the reference re-runs them serially, ``test_random_restart.py:169-197``
+    — parallel attempts see the same visited set, so only the step budget
+    differs: per-attempt here vs the reference's shared counter)."""
+
+    done: jnp.ndarray         # bool — this attempt terminated
+    steps: jnp.ndarray        # i32
     stuck: jnp.ndarray        # i32 — consecutive non-growing-bbox steps
-    mnx: jnp.ndarray          # i32 ×6 — current-instance voxel bbox
+    mnx: jnp.ndarray          # i32 ×6 — current-attempt voxel bbox
     mny: jnp.ndarray
     mnz: jnp.ndarray
     mxx: jnp.ndarray
@@ -460,38 +470,56 @@ class _RoomSt(NamedTuple):
     smxy: jnp.ndarray
     smxz: jnp.ndarray
     log_prob: jnp.ndarray     # f32 — cumulative decision log-prob (ml)
-    target: jnp.ndarray       # i32 — GT obj id of the seed point
-    seed_idx: jnp.ndarray     # i32 — flat slot of the seed point
+    ctr: jnp.ndarray          # i32 — PRNG draw counter
+    score: jnp.ndarray        # f32 — restart score at termination
+    cnt: jnp.ndarray          # i32 — final mask size at termination
+    reason: jnp.ndarray       # i32
+
+
+# extra lane-stream decorrelation constant (wrapped odd int32)
+_LS = np.int32(np.uint32(0xB5297A4D).astype(np.int64) - 2 ** 32)
 
 
 def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
-                 *refs, gb: int, k: int, feature_size: int, max_steps: int,
+                 *refs, gb: int, lanes_per_room: int, scoring_ml: bool,
+                 k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
-    """Segment ``gb`` rooms CONCURRENTLY in one grid step.
+    """Segment ``gb`` rooms CONCURRENTLY, ``lanes_per_room`` growth
+    attempts per room, in one grid step.
 
     Multi-room batching (the round-3 headline restructuring): the reference
     loop is strictly sequential WITHIN a room (each grown region blocks
     later seeds, ``test_region_grow.py:186-188``) but rooms are independent,
     so one program interleaves gb rooms' state machines — every merged-loop
-    iteration advances gb regions by one grow step. The per-step bounded
-    passes (prepare / fused bisection / selection-ranks / gather / scatter /
-    commit) carry a ~2.4 us fixed loop-control cost per fori iteration
-    (docs/pallas_grow_kernel_design.md); stacking the gb rooms' range slabs
-    as extra ROWS of the same pass amortizes that cost gb-fold, and the
+    iteration advances every live lane by one grow step. The per-step
+    bounded passes (prepare / fused bisection / selection-ranks / gather /
+    scatter / commit) carry a ~2.4 us fixed loop-control cost per fori
+    iteration (docs/pallas_grow_kernel_design.md); stacking the lanes'
+    range slabs as extra ROWS of the same pass amortizes that cost, and the
     LrgNet forward batches as column-concatenation (one wide MXU matmul for
-    all rooms, ``forward_confidences_t(gb=...)``).
+    all lanes, ``forward_confidences_t(gb=...)``).
 
-    Room g's PRNG stream depends only on its seed table entry and draw
-    counter, and every stacked pass keeps rooms in disjoint row blocks
-    (block-diagonal pooling matmuls, per-room gathers/scatters), so batched
-    execution reproduces gb independent single-room programs: labels,
-    counters and all integer log fields come out bit-identical on the test
-    fixtures (tests/test_fused_grow.py batched-equivalence); the one
-    caveat is that the width of the batched forward matmul can shift
-    per-slot confidences by float ULPs, which in principle can flip a
-    Bernoulli decision the way any PRNG-stream change would — quality
-    metrics, not trajectories, are the cross-batch-size contract.
+    ``lanes_per_room`` > 1 is the random-restart variant
+    (``test_random_restart.py:169-197``): R attempts of each seed grow as
+    parallel lanes over the same visited set; when all attempts of a room
+    terminate, the best by ``scoring_ml`` (cumulative decision log-prob)
+    or point count ('np') commits — argmax with first-tie, like the
+    reference — and every lane reseeds at the next curvature rank. The
+    reference runs attempts serially with a SHARED step counter; parallel
+    lanes give each attempt its own ``max_steps`` budget (documented
+    deviation, same as the XLA lane engine).
+
+    Each lane's PRNG stream depends only on its room seed, lane index and
+    draw counter, and every stacked pass keeps lanes in disjoint row blocks
+    (block-diagonal pooling matmuls, per-lane gathers/scatters), so batched
+    execution reproduces independent single-room programs: labels, counters
+    and all integer log fields come out bit-identical on the test fixtures
+    (tests/test_fused_grow.py batched-equivalence); the one caveat is that
+    the width of the batched forward matmul can shift per-slot confidences
+    by float ULPs, which in principle can flip a Bernoulli decision the way
+    any PRNG-stream change would — quality metrics, not trajectories, are
+    the cross-batch-size contract.
 
     Per-room machinery (exact reference semantics, single-room design notes
     in the module docstring): seeds in ascending curvature-rank order; one
@@ -499,9 +527,9 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     512/512 sampling by hash-key bisection, exact full-cloud median
     recentering, the transposed LrgNet forward, Bernoulli add/remove,
     stuck/termination bookkeeping (``test_region_grow.py:183-306``). Rooms
-    whose instance terminates commit visited/cluster labels and reseed in
-    the same iteration; rooms out of candidates go inert (their pass rows
-    are masked) until every room finishes.
+    whose attempts all terminate commit visited/cluster labels and reseed
+    in the same iteration; rooms out of candidates go inert (their lanes'
+    pass rows are masked) until every room finishes.
     """
     (labels_ref, log_ref, counters_ref,
      visited_s, tried_s, current_s, sel_s, ranks_s, enc_s, enc_all_s) = (
@@ -509,6 +537,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         refs[27], refs[28], refs[29], refs[30])
     w = _unpack_weight_refs(refs[0:21])
 
+    R = lanes_per_room
+    lanes = gb * R
     p8 = rank_ref.shape[2]
     p = 8 * p8
     n_chunks = p8 // chunk
@@ -523,13 +553,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     sw = slab_chunks * chunk
     base = pl.program_id(0) * gb
     # decorrelate adjacent room seeds with a wrapping golden-ratio
-    # multiply (linear spacing would overlap counter streams)
-    streams = [seed_ref[base + g, 0] * _CG for g in range(gb)]
+    # multiply (linear spacing would overlap counter streams); lanes of a
+    # room shift by a second odd constant before the multiply
+    streams = [(seed_ref[base + l // R, 0] + jnp.int32(l % R) * _LS) * _CG
+               for l in range(lanes)]
 
     # recenter rows: xy + feature cols 6.. (engine.grow._recenter_cols)
     rec_rows = [0, 1] + list(range(6, feature_size))
     n_rec = len(rec_rows)
-    # fused-bisection groups per room: inlier sample threshold, neighbor
+    # fused-bisection groups per lane: inlier sample threshold, neighbor
     # sample threshold, then (exact mode) each recenter feature's median
     g_all = 2 + (n_rec if exact_median else 0)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
@@ -540,13 +572,14 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
     visited_s[...] = jnp.zeros((gb * 8, p8), jnp.int32)
     tried_s[...] = jnp.zeros((gb * 8, p8), jnp.int32)
-    current_s[...] = jnp.zeros((gb * 8, p8), jnp.int32)
+    current_s[...] = jnp.zeros((lanes * 8, p8), jnp.int32)
     labels_ref[...] = jnp.zeros((gb, 8, p8), jnp.int32)
     log_ref[...] = jnp.zeros((gb, max_instances, 8), jnp.float32)
 
     if exact_median:
         # enc_s rows (g*n_rec + fi)*8 + r = sortable encoding of room g's
-        # feature rec_rows[fi], sublane r — built once per program
+        # feature rec_rows[fi], sublane r — built once per program (shared
+        # by all of the room's lanes, each masking with its own current)
         for g in range(gb):
             for fi, fr in enumerate(rec_rows):
                 enc_row = sortable_encode(feat_ref[g, fr:fr + 1, :])
@@ -556,14 +589,14 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
     def block_pool(n_groups):
         """(G, G*8) block-sum matrix pool[i, j] = (j // 8 == i), built from
-        iotas so it is not a captured constant. Rooms occupy disjoint group
-        blocks, so pooled reductions never mix rooms."""
+        iotas so it is not a captured constant. Lanes occupy disjoint group
+        blocks, so pooled reductions never mix lanes."""
         pr = jax.lax.broadcasted_iota(jnp.int32, (n_groups, n_groups * 8), 0)
         pc = jax.lax.broadcasted_iota(jnp.int32, (n_groups, n_groups * 8), 1)
         return ((pc // 8) == pr).astype(jnp.float32)
 
-    pool_all = block_pool(gb * g_all)
-    pool_med = block_pool(gb * n_rec) if exact_median else None
+    pool_all = block_pool(lanes * g_all)
+    pool_med = block_pool(lanes * n_rec) if exact_median else None
 
     def spread_groups(v, pool):
         """Exact (G, 1) int32 -> (G*8, 1) group broadcast via the pool.
@@ -577,7 +610,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         return up(v >> 16) * 65536 + up(v & 0xFFFF)
 
     def stack_i32(vals, rows_each=1):
-        """gb scalars -> (gb*rows_each, 1) int32 column."""
+        """scalars -> (len*rows_each, 1) int32 column."""
         n = len(vals) * rows_each
         row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
         out = jnp.zeros((n, 1), jnp.int32)
@@ -596,25 +629,26 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-    def chunk_intersects(g, cc, b):
-        """Does room g's column chunk cc voxel-bounds box intersect ``b``?
+    def chunk_intersects(rm, cc, b):
+        """Does room rm's column chunk cc voxel-bounds box intersect ``b``?
 
         ``b`` = (lx, hx, ly, hy, lz, hz) scalars; per-chunk table built on
         host (``chunk_bounds``) over the x-sorted interleaved layout."""
         lx, hx, ly, hy, lz, hz = b
-        t = lambda r: tbl_ref[base + g, r, cc]
+        t = lambda r: tbl_ref[base + rm, r, cc]
         return ((t(1) >= lx) & (t(0) <= hx) & (t(3) >= ly) & (t(2) <= hy)
                 & (t(5) >= lz) & (t(4) <= hz))
 
     # ---------------------------------------------------------------------
-    # Phase A: seed pick (runs per room, only when that room needs a seed)
+    # Phase A: seed pick (per room, only when that room needs a seed)
     # ---------------------------------------------------------------------
 
-    def seed_room(g, st):
+    def seed_room(g, rst, lanes_g):
         """Lowest unvisited-untried curvature rank becomes the next seed
-        (reference ``test_region_grow.py:183-188``); writes tried/current
-        and resets the per-instance state."""
-        def do(s):
+        (reference ``test_region_grow.py:183-188``); writes tried and every
+        lane's current, and resets the per-attempt lane states."""
+        def do(op):
+            s, lg = op
             rank_g = rank_ref[g]
             vis = visited_s[pl.ds(g * 8, 8), :] > 0
             trd = tried_s[pl.ds(g * 8, 8), :] > 0
@@ -622,63 +656,72 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             seed_rank = jnp.min(jnp.where(cand, rank_g, BIG))
             seed_mask = cand & (rank_g == seed_rank)
             tried_s[pl.ds(g * 8, 8), :] = (trd | seed_mask).astype(jnp.int32)
-            current_s[pl.ds(g * 8, 8), :] = seed_mask.astype(jnp.int32)
+            sm32 = seed_mask.astype(jnp.int32)
+            for r in range(R):
+                current_s[pl.ds((g * R + r) * 8, 8), :] = sm32
             sx = jnp.sum(jnp.where(seed_mask, vox_ref[g, 0:8, :], 0))
             sy = jnp.sum(jnp.where(seed_mask, vox_ref[g, 8:16, :], 0))
             sz = jnp.sum(jnp.where(seed_mask, vox_ref[g, 16:24, :], 0))
-            return s._replace(
-                need_seed=jnp.bool_(False), steps=jnp.int32(0),
-                stuck=jnp.int32(0), log_prob=jnp.float32(0.0),
+            zi = jnp.int32(0)
+            lg2 = tuple(l._replace(
+                done=jnp.bool_(False), steps=zi, stuck=zi,
                 mnx=sx, mny=sy, mnz=sz, mxx=sx, mxy=sy, mxz=sz,
                 smnx=sx, smny=sy, smnz=sz, smxx=sx, smxy=sy, smxz=sz,
+                log_prob=jnp.float32(0.0), score=jnp.float32(0.0),
+                cnt=zi, reason=zi) for l in lg)
+            s2 = s._replace(
+                need_seed=jnp.bool_(False),
                 target=jnp.sum(jnp.where(seed_mask, obj_ref[g], 0)),
                 seed_idx=jnp.sum(jnp.where(seed_mask, glob_idx, 0)))
+            return s2, lg2
 
-        return jax.lax.cond(st.need_seed & ~st.fully_done, do,
-                            lambda s: s, st)
+        return jax.lax.cond(rst.need_seed & ~rst.fully_done, do,
+                            lambda op: op, (rst, lanes_g))
 
     # ---------------------------------------------------------------------
-    # Phase B: one grow step for every active room
+    # Phase B: one grow step for every live lane
     # ---------------------------------------------------------------------
 
-    def grow_step(sts):
-        active = [~st.fully_done for st in sts]
+    def grow_step(rsts, lsts):
+        active = [~rsts[l // R].fully_done & ~lsts[l].done
+                  for l in range(lanes)]
 
-        # --- contiguous chunk range covering each room's b_nb in x -------
+        # --- contiguous chunk range covering each lane's b_nb in x -------
         # (points pack x-sorted, so intersecting chunks form one range;
         # scalar scan over the SMEM bounds table). Every bounded pass below
-        # iterates i in [0, max range length); room g reads its own slab
-        # smin[g] + i (clamped), with contributions masked by i < slen[g] —
+        # iterates i in [0, max range length); lane l reads its own slab
+        # smin[l] + i (clamped), with contributions masked by i < slen[l] —
         # per-step cost scales with the LARGEST region footprint in the
         # batch, not the room size.
         def rng_body(cc, carry):
             out = []
-            for g, st in enumerate(sts):
-                cmn, cmx = carry[2 * g], carry[2 * g + 1]
-                inter = ((tbl_ref[base + g, 1, cc] >= st.mnx - 1)
-                         & (tbl_ref[base + g, 0, cc] <= st.mxx + 1))
+            for l, st in enumerate(lsts):
+                cmn, cmx = carry[2 * l], carry[2 * l + 1]
+                rm = l // R
+                inter = ((tbl_ref[base + rm, 1, cc] >= st.mnx - 1)
+                         & (tbl_ref[base + rm, 0, cc] <= st.mxx + 1))
                 out.append(jnp.where(inter, jnp.minimum(cmn, cc), cmn))
                 out.append(jnp.where(inter, jnp.maximum(cmx, cc), cmx))
             return tuple(out)
 
-        rng0 = (jnp.int32(n_chunks - 1), jnp.int32(0)) * gb
+        rng0 = (jnp.int32(n_chunks - 1), jnp.int32(0)) * lanes
         rng = jax.lax.fori_loop(0, n_chunks, rng_body, rng0)
         cmin, cmax = [], []
-        for g in range(gb):
-            lo_, hi_ = rng[2 * g], rng[2 * g + 1]
-            # inert rooms pin to chunk 0 (their rows are masked anyway);
+        for l in range(lanes):
+            lo_, hi_ = rng[2 * l], rng[2 * l + 1]
+            # inert lanes pin to chunk 0 (their rows are masked anyway);
             # hi >= lo keeps every clamped read in bounds
-            lo_ = jnp.where(active[g], jnp.minimum(lo_, hi_), 0)
-            hi_ = jnp.where(active[g], jnp.maximum(rng[2 * g + 1], lo_), 0)
+            lo_ = jnp.where(active[l], jnp.minimum(lo_, hi_), 0)
+            hi_ = jnp.where(active[l], jnp.maximum(rng[2 * l + 1], lo_), 0)
             cmin.append(lo_)
             cmax.append(hi_)
-        smin = [cmin[g] // slab_chunks for g in range(gb)]
-        smax = [cmax[g] // slab_chunks for g in range(gb)]
-        slen = [smax[g] - smin[g] + 1 for g in range(gb)]
-        clen = [cmax[g] - cmin[g] + 1 for g in range(gb)]
+        smin = [cmin[l] // slab_chunks for l in range(lanes)]
+        smax = [cmax[l] // slab_chunks for l in range(lanes)]
+        slen = [smax[l] - smin[l] + 1 for l in range(lanes)]
+        clen = [cmax[l] - cmin[l] + 1 for l in range(lanes)]
         # slab-aligned chunk range (scatter writes / commit reads)
-        ac0 = [smin[g] * slab_chunks for g in range(gb)]
-        aclen = [slen[g] * slab_chunks for g in range(gb)]
+        ac0 = [smin[l] * slab_chunks for l in range(lanes)]
+        aclen = [slen[l] * slab_chunks for l in range(lanes)]
 
         def list_max(xs):
             m = xs[0]
@@ -690,25 +733,26 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         max_clen = list_max(clen)
         max_aclen = list_max(aclen)
 
-        def slab_lo(g, i):
-            return (smin[g] + jnp.minimum(i, slen[g] - 1)) * sw
+        def slab_lo(l, i):
+            return (smin[l] + jnp.minimum(i, slen[l] - 1)) * sw
 
         # --- prepare pass: masked sample-key encodings + counts ----------
-        # enc_all rows [g*16, g*16+8) = room g's inlier keys under the
-        # current mask, [g*16+8, g*16+16) = neighbor keys under the bbox
+        # enc_all rows [l*16, l*16+8) = lane l's inlier keys under its
+        # current mask, [l*16+8, l*16+16) = neighbor keys under the bbox
         # neighbor mask; sentinel IMAX elsewhere. Keys clamp to IMAX-1 so
         # a key equal to the sentinel cannot alias a masked-out slot.
         def prep_body(i, acc):
             parts = []
-            for g, st in enumerate(sts):
-                ok = active[g] & (i < slen[g])
-                lo = slab_lo(g, i)
-                curs = current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
-                viss = visited_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
-                vxs = vox_ref[g, 0:8, pl.ds(lo, sw)]
-                vys = vox_ref[g, 8:16, pl.ds(lo, sw)]
-                vzs = vox_ref[g, 16:24, pl.ds(lo, sw)]
-                rks = rank_ref[g, pl.ds(0, 8), pl.ds(lo, sw)]
+            for l, st in enumerate(lsts):
+                rm = l // R
+                ok = active[l] & (i < slen[l])
+                lo = slab_lo(l, i)
+                curs = current_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] > 0
+                viss = visited_s[pl.ds(rm * 8, 8), pl.ds(lo, sw)] > 0
+                vxs = vox_ref[rm, 0:8, pl.ds(lo, sw)]
+                vys = vox_ref[rm, 8:16, pl.ds(lo, sw)]
+                vzs = vox_ref[rm, 16:24, pl.ds(lo, sw)]
+                rks = rank_ref[rm, pl.ds(0, 8), pl.ds(lo, sw)]
                 nbs = ((rks < BIG) & ~curs & ~viss
                        & (vxs >= st.mnx - 1) & (vxs <= st.mxx + 1)
                        & (vys >= st.mny - 1) & (vys <= st.mxy + 1)
@@ -716,13 +760,13 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 gidx = (jax.lax.broadcasted_iota(jnp.int32, (8, sw), 0) * p8
                         + lo
                         + jax.lax.broadcasted_iota(jnp.int32, (8, sw), 1))
-                ki = jnp.minimum(hash_keys(gidx, streams[g] + st.ctr),
+                ki = jnp.minimum(hash_keys(gidx, streams[l] + st.ctr),
                                  IMAX - 1)
-                kn = jnp.minimum(hash_keys(gidx, streams[g] + st.ctr + 2),
+                kn = jnp.minimum(hash_keys(gidx, streams[l] + st.ctr + 2),
                                  IMAX - 1)
-                enc_all_s[pl.ds(g * 16, 8), pl.ds(lo, sw)] = jnp.where(
+                enc_all_s[pl.ds(l * 16, 8), pl.ds(lo, sw)] = jnp.where(
                     curs, ki, IMAX)
-                enc_all_s[pl.ds(g * 16 + 8, 8), pl.ds(lo, sw)] = jnp.where(
+                enc_all_s[pl.ds(l * 16 + 8, 8), pl.ds(lo, sw)] = jnp.where(
                     nbs, kn, IMAX)
                 parts.append(curs & ok)
                 parts.append(nbs & ok)
@@ -730,55 +774,57 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             return acc + jnp.sum(allr, axis=1, keepdims=True)
 
         cnts = jax.lax.fori_loop(0, max_slen, prep_body,
-                                 jnp.zeros((gb * 16, 1), jnp.int32))
-        cur_cnt = [jnp.sum(cnts[g * 16:g * 16 + 8]) for g in range(gb)]
-        nb_cnt = [jnp.sum(cnts[g * 16 + 8:g * 16 + 16]) for g in range(gb)]
-        no_neighbor = [nb_cnt[g] == 0 for g in range(gb)]
+                                 jnp.zeros((lanes * 16, 1), jnp.int32))
+        cur_cnt = [jnp.sum(cnts[l * 16:l * 16 + 8]) for l in range(lanes)]
+        nb_cnt = [jnp.sum(cnts[l * 16 + 8:l * 16 + 16])
+                  for l in range(lanes)]
+        no_neighbor = [nb_cnt[l] == 0 for l in range(lanes)]
 
-        # --- ONE fused 33-pass bisection for every room's order stats ----
-        # SMALL-STEP SKIP: when every active room's candidate sets fit in
+        # --- ONE fused 33-pass bisection for every lane's order stats ----
+        # SMALL-STEP SKIP: when every live lane's candidate sets fit in
         # k, the thresholds are degenerate and exact medians come from the
         # gathered blocks — the whole slab bisection is dead work.
-        small = [(cur_cnt[g] <= k) & (nb_cnt[g] <= k) for g in range(gb)]
+        small = [(cur_cnt[l] <= k) & (nb_cnt[l] <= k) for l in range(lanes)]
         all_small = small[0] | ~active[0]
-        for g in range(1, gb):
-            all_small = all_small & (small[g] | ~active[g])
+        for l in range(1, lanes):
+            all_small = all_small & (small[l] | ~active[l])
 
-        rows_ga = jax.lax.broadcasted_iota(jnp.int32, (gb * g_all, 1), 0)
-        ranks_all = jnp.zeros((gb * g_all, 1), jnp.int32)
-        for g in range(gb):
-            b0 = g * g_all
+        rows_ga = jax.lax.broadcasted_iota(jnp.int32, (lanes * g_all, 1), 0)
+        ranks_all = jnp.zeros((lanes * g_all, 1), jnp.int32)
+        for l in range(lanes):
+            b0 = l * g_all
             ranks_all = (
                 ranks_all
-                + jnp.where(rows_ga == b0, jnp.minimum(cur_cnt[g], k), 0)
-                + jnp.where(rows_ga == b0 + 1, jnp.minimum(nb_cnt[g], k), 0))
+                + jnp.where(rows_ga == b0, jnp.minimum(cur_cnt[l], k), 0)
+                + jnp.where(rows_ga == b0 + 1, jnp.minimum(nb_cnt[l], k), 0))
             if exact_median:
                 ranks_all = ranks_all + jnp.where(
                     (rows_ga >= b0 + 2) & (rows_ga < b0 + g_all),
-                    (cur_cnt[g] - 1) // 2 + 1, 0)
+                    (cur_cnt[l] - 1) // 2 + 1, 0)
 
         def bis_body(_, bc):
-            lo_, hi_ = bc                                  # (gb*g_all, 1)
+            lo_, hi_ = bc                                # (lanes*g_all, 1)
             mid = _midpoint(lo_, hi_)
-            mid_rows = spread_groups(mid, pool_all)        # (gb*g_all*8, 1)
+            mid_rows = spread_groups(mid, pool_all)      # (lanes*g_all*8, 1)
 
             def acc(i, rc):
                 parts = []
-                for g in range(gb):
-                    ok = active[g] & (i < slen[g])
-                    lo = slab_lo(g, i)
-                    mr = mid_rows[g * g_all * 8:(g + 1) * g_all * 8]
-                    keys = enc_all_s[pl.ds(g * 16, 16), pl.ds(lo, sw)]
+                for l in range(lanes):
+                    rm = l // R
+                    ok = active[l] & (i < slen[l])
+                    lo = slab_lo(l, i)
+                    mr = mid_rows[l * g_all * 8:(l + 1) * g_all * 8]
+                    keys = enc_all_s[pl.ds(l * 16, 16), pl.ds(lo, sw)]
                     parts.append((keys <= mr[0:16]) & ok)
                     if exact_median:
-                        # recenter encodings are masked with current on
-                        # the fly (no materialized per-step copy)
+                        # recenter encodings are masked with the lane's
+                        # current on the fly (no materialized copy)
                         curt = jnp.concatenate(
-                            [current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0]
+                            [current_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] > 0]
                             * n_rec, axis=0)
                         em = jnp.where(
                             curt,
-                            enc_s[pl.ds(g * n_rec * 8, n_rec * 8),
+                            enc_s[pl.ds(rm * n_rec * 8, n_rec * 8),
                                   pl.ds(lo, sw)], IMAX)
                         parts.append((em <= mr[16:]) & ok)
                 allv = jnp.concatenate(parts, axis=0).astype(jnp.float32)
@@ -786,7 +832,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
             rcounts = jax.lax.fori_loop(
                 0, max_slen, acc,
-                jnp.zeros((gb * g_all * 8, 1), jnp.float32))
+                jnp.zeros((lanes * g_all * 8, 1), jnp.float32))
             counts = jnp.dot(pool_all, rcounts,
                              preferred_element_type=jnp.float32,
                              precision=hp).astype(jnp.int32)
@@ -797,120 +843,124 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             # hi0 = IMAX-1 keeps every probe mid strictly below the sentinel
             out, _hi = jax.lax.fori_loop(
                 0, 33, bis_body,
-                (jnp.full((gb * g_all, 1), -2 ** 31, jnp.int32),
-                 jnp.full((gb * g_all, 1), 2 ** 31 - 2, jnp.int32)))
+                (jnp.full((lanes * g_all, 1), -2 ** 31, jnp.int32),
+                 jnp.full((lanes * g_all, 1), 2 ** 31 - 2, jnp.int32)))
             return out
 
         kth = jax.lax.cond(
             all_small,
-            lambda _: jnp.full((gb * g_all, 1), IMAX - 1, jnp.int32),
+            lambda _: jnp.full((lanes * g_all, 1), IMAX - 1, jnp.int32),
             _run_bis, 0)
         # cnt <= k selects the whole mask: IMAX-1 admits every non-sentinel
-        thr_in = [jnp.where(cur_cnt[g] <= k, IMAX - 1, kth[g * g_all, 0])
-                  for g in range(gb)]
-        thr_nb = [jnp.where(nb_cnt[g] <= k, IMAX - 1, kth[g * g_all + 1, 0])
-                  for g in range(gb)]
+        thr_in = [jnp.where(cur_cnt[l] <= k, IMAX - 1, kth[l * g_all, 0])
+                  for l in range(lanes)]
+        thr_nb = [jnp.where(nb_cnt[l] <= k, IMAX - 1, kth[l * g_all + 1, 0])
+                  for l in range(lanes)]
 
         # --- selection masks + prefix ranks, range slabs only -------------
-        row_id = jax.lax.broadcasted_iota(jnp.int32, (gb * 8, gb * 8), 0)
-        col_id = jax.lax.broadcasted_iota(jnp.int32, (gb * 8, gb * 8), 1)
-        # strictly-lower-triangular-within-room accumulator: row_base[i] =
-        # sum of same-room earlier-sublane row totals (exact through the
+        row_id = jax.lax.broadcasted_iota(jnp.int32,
+                                          (lanes * 8, lanes * 8), 0)
+        col_id = jax.lax.broadcasted_iota(jnp.int32,
+                                          (lanes * 8, lanes * 8), 1)
+        # strictly-lower-triangular-within-lane accumulator: row_base[i] =
+        # sum of same-lane earlier-sublane row totals (exact through the
         # MXU: counts < 2^24 are f32-exact)
         lower_tri = (((row_id // 8) == (col_id // 8))
                      & ((col_id % 8) < (row_id % 8))).astype(jnp.float32)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (gb * 8, n_slabs), 1)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (lanes * 8, n_slabs), 1)
 
         def build_sel_ranks(row_off, thrs):
-            """Write each room's selection mask (keys <= its threshold) and
+            """Write each lane's selection mask (keys <= its threshold) and
             1-based global-row-major prefix ranks into sel_s / ranks_s rows
-            [g*8, g*8+8) — two bounded passes (per-slab row totals, then
+            [l*8, l*8+8) — two bounded passes (per-slab row totals, then
             in-slab prefix + cross-slab/cross-row offsets)."""
             def ph1(i, rt):
                 parts = []
-                for g in range(gb):
-                    ok = active[g] & (i < slen[g])
-                    lo = slab_lo(g, i)
-                    slab = enc_all_s[pl.ds(g * 16 + row_off, 8),
+                for l in range(lanes):
+                    ok = active[l] & (i < slen[l])
+                    lo = slab_lo(l, i)
+                    slab = enc_all_s[pl.ds(l * 16 + row_off, 8),
                                      pl.ds(lo, sw)]
-                    t = jnp.sum((slab <= thrs[g]).astype(jnp.int32),
+                    t = jnp.sum((slab <= thrs[l]).astype(jnp.int32),
                                 axis=1, keepdims=True)
-                    s_g = smin[g] + jnp.minimum(i, slen[g] - 1)
+                    s_l = smin[l] + jnp.minimum(i, slen[l] - 1)
                     colmask = (jax.lax.broadcasted_iota(
-                        jnp.int32, (8, n_slabs), 1) == s_g) & ok
+                        jnp.int32, (8, n_slabs), 1) == s_l) & ok
                     parts.append(jnp.where(colmask, t, 0))
                 return rt + jnp.concatenate(parts, axis=0)
 
             rt = jax.lax.fori_loop(0, max_slen, ph1,
-                                   jnp.zeros((gb * 8, n_slabs), jnp.int32))
+                                   jnp.zeros((lanes * 8, n_slabs),
+                                             jnp.int32))
             inc = rt
             d = 1
             while d < n_slabs:
                 inc = inc + jnp.concatenate(
-                    [jnp.zeros((gb * 8, d), jnp.int32),
+                    [jnp.zeros((lanes * 8, d), jnp.int32),
                      inc[:, :n_slabs - d]], axis=1)
                 d *= 2
-            row_prior = inc - rt                          # (gb*8, n_slabs)
-            row_tot = inc[:, n_slabs - 1:n_slabs]         # (gb*8, 1)
+            row_prior = inc - rt                        # (lanes*8, n_slabs)
+            row_tot = inc[:, n_slabs - 1:n_slabs]       # (lanes*8, 1)
             row_base = jnp.dot(lower_tri, row_tot.astype(jnp.float32),
                                preferred_element_type=jnp.float32,
                                precision=hp).astype(jnp.int32)
 
             def ph2(i, _):
                 sels = []
-                for g in range(gb):
-                    lo = slab_lo(g, i)
-                    sels.append(enc_all_s[pl.ds(g * 16 + row_off, 8),
-                                          pl.ds(lo, sw)] <= thrs[g])
-                sel = jnp.concatenate(sels, axis=0)       # (gb*8, sw)
+                for l in range(lanes):
+                    lo = slab_lo(l, i)
+                    sels.append(enc_all_s[pl.ds(l * 16 + row_off, 8),
+                                          pl.ds(lo, sw)] <= thrs[l])
+                sel = jnp.concatenate(sels, axis=0)     # (lanes*8, sw)
                 cum = sel.astype(jnp.int32)
                 d = 1
                 while d < sw:
                     cum = cum + jnp.concatenate(
-                        [jnp.zeros((gb * 8, d), jnp.int32),
+                        [jnp.zeros((lanes * 8, d), jnp.int32),
                          cum[:, :sw - d]], axis=1)
                     d *= 2
-                for g in range(gb):
-                    lo = slab_lo(g, i)
-                    s_g = smin[g] + jnp.minimum(i, slen[g] - 1)
+                for l in range(lanes):
+                    lo = slab_lo(l, i)
+                    s_l = smin[l] + jnp.minimum(i, slen[l] - 1)
                     prior = jnp.sum(
-                        jnp.where(cidx[g * 8:(g + 1) * 8] == s_g,
-                                  row_prior[g * 8:(g + 1) * 8], 0),
+                        jnp.where(cidx[l * 8:(l + 1) * 8] == s_l,
+                                  row_prior[l * 8:(l + 1) * 8], 0),
                         axis=1, keepdims=True)
-                    sel_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] = (
-                        sel[g * 8:(g + 1) * 8].astype(jnp.int32))
-                    ranks_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] = (
-                        cum[g * 8:(g + 1) * 8] + prior
-                        + row_base[g * 8:(g + 1) * 8])
+                    sel_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = (
+                        sel[l * 8:(l + 1) * 8].astype(jnp.int32))
+                    ranks_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = (
+                        cum[l * 8:(l + 1) * 8] + prior
+                        + row_base[l * 8:(l + 1) * 8])
                 return 0
 
             jax.lax.fori_loop(0, max_slen, ph2, 0)
 
         # --- rank-match gathers over bbox-intersecting chunks -------------
         def gather_pass(targets, bs):
-            """Per room: gathered (16, k) features + (k, 1) exact global
+            """Per lane: gathered (16, k) features + (k, 1) exact global
             indices of the sampled points. One shared chunk loop; each
-            room's MXU gather dot runs under its own intersection guard,
-            back-to-back with the other rooms' (shared loop control)."""
+            lane's MXU gather dot runs under its own intersection guard,
+            back-to-back with the other lanes' (shared loop control)."""
             def body(i, carry):
                 out = list(carry)
-                for g in range(gb):
-                    cc = cmin[g] + jnp.minimum(i, clen[g] - 1)
-                    pred = (active[g] & (i < clen[g])
-                            & chunk_intersects(g, cc, bs[g]))
+                for l in range(lanes):
+                    rm = l // R
+                    cc = cmin[l] + jnp.minimum(i, clen[l] - 1)
+                    pred = (active[l] & (i < clen[l])
+                            & chunk_intersects(rm, cc, bs[l]))
 
-                    def slab(c, g=g, cc=cc):
+                    def slab(c, l=l, rm=rm, cc=cc):
                         gathered, idx_col = c
                         lo = cc * chunk
-                        rr = ranks_s[pl.ds(g * 8, 8), pl.ds(lo, chunk)]
-                        ss = sel_s[pl.ds(g * 8, 8), pl.ds(lo, chunk)]
+                        rr = ranks_s[pl.ds(l * 8, 8), pl.ds(lo, chunk)]
+                        ss = sel_s[pl.ds(l * 8, 8), pl.ds(lo, chunk)]
                         flat_rr = rr.reshape(1, 8 * chunk)
                         flat_ss = ss.reshape(1, 8 * chunk)
-                        hit = (targets[g] == flat_rr) & (flat_ss > 0)
+                        hit = (targets[l] == flat_rr) & (flat_ss > 0)
                         onehot = hit.astype(jnp.float32)
                         feat_slab = jnp.concatenate(
-                            [feat_ref[g, :, pl.ds(r * p8 + lo, chunk)]
-                             for r in range(8)], axis=1)   # (16, 8*chunk)
+                            [feat_ref[rm, :, pl.ds(r * p8 + lo, chunk)]
+                             for r in range(8)], axis=1)  # (16, 8*chunk)
                         glob_row = jnp.concatenate(
                             [r * p8 + lo + chunk_iota for r in range(8)],
                             axis=1)
@@ -927,38 +977,39 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                             keepdims=True)
                         return gathered, idx_col
 
-                    out[g] = jax.lax.cond(pred, slab, lambda c: c, out[g])
+                    out[l] = jax.lax.cond(pred, slab, lambda c: c, out[l])
                 return tuple(out)
 
             init = tuple((jnp.zeros((16, k), jnp.float32),
-                          jnp.zeros((k, 1), jnp.int32)) for _ in range(gb))
+                          jnp.zeros((k, 1), jnp.int32))
+                         for _ in range(lanes))
             return jax.lax.fori_loop(0, max_clen, body, init)
 
         def sample_and_gather(row_off, thrs, cnts_, fill_off, bs):
             build_sel_ranks(row_off, thrs)
             targets = [
                 sample_targets(
-                    cnts_[g], k,
-                    uniform01(hash_keys(kcol,
-                                        streams[g] + sts[g].ctr + fill_off)))
-                for g in range(gb)]
+                    cnts_[l], k,
+                    uniform01(hash_keys(
+                        kcol, streams[l] + lsts[l].ctr + fill_off)))
+                for l in range(lanes)]
             return gather_pass(targets, bs)
 
         b_in = [(st.mnx, st.mxx, st.mny, st.mxy, st.mnz, st.mxz)
-                for st in sts]
+                for st in lsts]
         b_nb = [(st.mnx - 1, st.mxx + 1, st.mny - 1, st.mxy + 1,
-                 st.mnz - 1, st.mxz + 1) for st in sts]
+                 st.mnz - 1, st.mxz + 1) for st in lsts]
         res_in = sample_and_gather(0, thr_in, cur_cnt, 1, b_in)
         res_nb = sample_and_gather(8, thr_nb, nb_cnt, 3, b_nb)
-        g_in = [res_in[g][0] for g in range(gb)]
-        idx_in = [res_in[g][1] for g in range(gb)]
-        g_nb = [res_nb[g][0] for g in range(gb)]
-        idx_nb = [res_nb[g][1] for g in range(gb)]
+        g_in = [res_in[l][0] for l in range(lanes)]
+        idx_in = [res_in[l][1] for l in range(lanes)]
+        g_nb = [res_nb[l][0] for l in range(lanes)]
+        idx_nb = [res_nb[l][1] for l in range(lanes)]
 
         # --- recenter offsets ---------------------------------------------
         def bisect_stack_pair(enc_stack, lo_rs, hi_rs):
             """Both order statistics of every 16-row block in ONE stacked
-            33-pass bisection (rows [0:gb*16] lower, [gb*16:] upper).
+            33-pass bisection (rows [0:lanes*16] lower, [lanes*16:] upper).
             hi0 = 2**31 - 2 is safe: every encoding bisected here is
             strictly below INT32_MAX — sortable encodings of FINITE f32
             features reach INT32_MAX only for a NaN payload, which
@@ -985,38 +1036,38 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         rmask = rec_rows_mask()
 
         def gathered_median_offsets():
-            """Exact (16, 1) offsets for rooms with cur_cnt <= k: slots
+            """Exact (16, 1) offsets for lanes with cur_cnt <= k: slots
             [0, cnt) hold every current point exactly once (natural-order
             fill, ``sample_targets``), so the full-mask order statistics
             are computable from the gathered blocks — bit-identical to the
             slab path — in one stacked in-register bisection."""
             slot = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
             encs, lo_rs, hi_rs = [], [], []
-            for g in range(gb):
-                enc = sortable_encode(g_in[g])
-                encs.append(jnp.where(slot < cur_cnt[g], enc, IMAX))
+            for l in range(lanes):
+                enc = sortable_encode(g_in[l])
+                encs.append(jnp.where(slot < cur_cnt[l], enc, IMAX))
                 lo_rs.append(jnp.zeros((16, 1), jnp.int32)
-                             + (cur_cnt[g] - 1) // 2 + 1)
+                             + (cur_cnt[l] - 1) // 2 + 1)
                 hi_rs.append(jnp.zeros((16, 1), jnp.int32)
-                             + cur_cnt[g] // 2 + 1)
+                             + cur_cnt[l] // 2 + 1)
             v_lo, v_hi = bisect_stack_pair(
                 jnp.concatenate(encs, axis=0),
                 jnp.concatenate(lo_rs, axis=0),
                 jnp.concatenate(hi_rs, axis=0))
             med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-            return [jnp.where(rmask, med[g * 16:(g + 1) * 16], 0.0)
-                    for g in range(gb)]
+            return [jnp.where(rmask, med[l * 16:(l + 1) * 16], 0.0)
+                    for l in range(lanes)]
 
         def sampled_median_offsets():
             """(16, 1) offsets from the 512 SAMPLED inliers (fast mode)."""
-            encs = [sortable_encode(g_in[g]) for g in range(gb)]
-            lo_r = jnp.full((gb * 16, 1), (k - 1) // 2 + 1, jnp.int32)
-            hi_r = jnp.full((gb * 16, 1), k // 2 + 1, jnp.int32)
+            encs = [sortable_encode(g_in[l]) for l in range(lanes)]
+            lo_r = jnp.full((lanes * 16, 1), (k - 1) // 2 + 1, jnp.int32)
+            hi_r = jnp.full((lanes * 16, 1), k // 2 + 1, jnp.int32)
             v_lo, v_hi = bisect_stack_pair(jnp.concatenate(encs, axis=0),
                                            lo_r, hi_r)
             med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-            return [jnp.where(rmask, med[g * 16:(g + 1) * 16], 0.0)
-                    for g in range(gb)]
+            return [jnp.where(rmask, med[l * 16:(l + 1) * 16], 0.0)
+                    for l in range(lanes)]
 
         def slab_median_offsets():
             """Exact offsets from the fused bisection's lower medians: the
@@ -1024,26 +1075,27 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             count(enc <= v_lo) >= cnt//2+1 it IS v_lo, else the smallest
             masked value > v_lo)."""
             v_lo = jnp.concatenate(
-                [kth[g * g_all + 2:(g + 1) * g_all] for g in range(gb)],
-                axis=0)                                   # (gb*n_rec, 1)
-            hi_rk = stack_i32([cur_cnt[g] // 2 + 1 for g in range(gb)],
+                [kth[l * g_all + 2:(l + 1) * g_all] for l in range(lanes)],
+                axis=0)                                 # (lanes*n_rec, 1)
+            hi_rk = stack_i32([cur_cnt[l] // 2 + 1 for l in range(lanes)],
                               rows_each=n_rec)
-            v_lo_rows = spread_groups(v_lo, pool_med)     # (gb*n_rec*8, 1)
+            v_lo_rows = spread_groups(v_lo, pool_med)   # (lanes*n_rec*8, 1)
 
             def acc(i, carry):
                 cle, rmin = carry
                 cparts, mparts = [], []
-                for g in range(gb):
-                    ok = active[g] & (i < slen[g])
-                    lo = slab_lo(g, i)
+                for l in range(lanes):
+                    rm = l // R
+                    ok = active[l] & (i < slen[l])
+                    lo = slab_lo(l, i)
                     curt = jnp.concatenate(
-                        [current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0]
+                        [current_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] > 0]
                         * n_rec, axis=0)
                     slab = jnp.where(
                         curt & ok,
-                        enc_s[pl.ds(g * n_rec * 8, n_rec * 8),
+                        enc_s[pl.ds(rm * n_rec * 8, n_rec * 8),
                               pl.ds(lo, sw)], IMAX)
-                    vr = v_lo_rows[g * n_rec * 8:(g + 1) * n_rec * 8]
+                    vr = v_lo_rows[l * n_rec * 8:(l + 1) * n_rec * 8]
                     cparts.append((slab <= vr).astype(jnp.float32))
                     mparts.append(jnp.where(slab > vr, slab, IMAX))
                 cle = cle + jnp.sum(jnp.concatenate(cparts, axis=0),
@@ -1054,25 +1106,26 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
             cle_rows, row_min = jax.lax.fori_loop(
                 0, max_slen, acc,
-                (jnp.zeros((gb * n_rec * 8, 1), jnp.float32),
-                 jnp.full((gb * n_rec * 8, 1), 2 ** 31 - 1, jnp.int32)))
+                (jnp.zeros((lanes * n_rec * 8, 1), jnp.float32),
+                 jnp.full((lanes * n_rec * 8, 1), 2 ** 31 - 1, jnp.int32)))
             c_le = jnp.dot(pool_med, cle_rows,
                            preferred_element_type=jnp.float32,
-                           precision=hp).astype(jnp.int32)  # (gb*n_rec, 1)
-            rowg = jax.lax.broadcasted_iota(jnp.int32, (gb * n_rec, 1), 0)
-            gmin = jnp.zeros((gb * n_rec, 1), jnp.int32)
-            for q in range(gb * n_rec):
+                           precision=hp).astype(jnp.int32)
+            rowg = jax.lax.broadcasted_iota(jnp.int32,
+                                            (lanes * n_rec, 1), 0)
+            gmin = jnp.zeros((lanes * n_rec, 1), jnp.int32)
+            for q in range(lanes * n_rec):
                 gmin = gmin + jnp.where(
                     rowg == q, jnp.min(row_min[q * 8:(q + 1) * 8]), 0)
             v_hi = jnp.where(c_le >= hi_rk, v_lo, gmin)
             med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
             row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
             offs = []
-            for g in range(gb):
+            for l in range(lanes):
                 off = jnp.zeros((16, 1), jnp.float32)
                 for fi, fr in enumerate(rec_rows):
                     off = off + jnp.where(row16 == fr,
-                                          med[g * n_rec + fi, 0], 0.0)
+                                          med[l * n_rec + fi, 0], 0.0)
                 offs.append(off)
             return offs
 
@@ -1081,28 +1134,28 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             slab_offs = jax.lax.cond(
                 all_small,
                 lambda _: [jnp.zeros((16, 1), jnp.float32)
-                           for _ in range(gb)],
+                           for _ in range(lanes)],
                 lambda _: slab_median_offsets(), 0)
-            offs = [jnp.where(small[g], small_offs[g], slab_offs[g])
-                    for g in range(gb)]
+            offs = [jnp.where(small[l], small_offs[l], slab_offs[l])
+                    for l in range(lanes)]
         else:
             offs = sampled_median_offsets()
 
         # --- batched forward + decisions ----------------------------------
-        x_in = jnp.concatenate([g_in[g] - offs[g] for g in range(gb)],
+        x_in = jnp.concatenate([g_in[l] - offs[l] for l in range(lanes)],
                                axis=1)
-        x_nb = jnp.concatenate([g_nb[g] - offs[g] for g in range(gb)],
+        x_nb = jnp.concatenate([g_nb[l] - offs[l] for l in range(lanes)],
                                axis=1)
-        add_conf, rmv_conf = forward_confidences_t(w, x_in, x_nb, gb=gb)
+        add_conf, rmv_conf = forward_confidences_t(w, x_in, x_nb, gb=lanes)
 
         add_dec, rmv_dec = [], []
-        for g, st in enumerate(sts):
+        for l, st in enumerate(lsts):
             # decisions in column orientation (same hash values as a row
             # draw; conf reshaped (1,k)->(k,1), cf. ops/masked_select t_col)
-            u_add = uniform01(hash_keys(kcol, streams[g] + st.ctr + 4))
-            u_rmv = uniform01(hash_keys(kcol, streams[g] + st.ctr + 5))
-            ac = add_conf[:, g * k:(g + 1) * k].reshape(k, 1)
-            rc = rmv_conf[:, g * k:(g + 1) * k].reshape(k, 1)
+            u_add = uniform01(hash_keys(kcol, streams[l] + st.ctr + 4))
+            u_rmv = uniform01(hash_keys(kcol, streams[l] + st.ctr + 5))
+            ac = add_conf[:, l * k:(l + 1) * k].reshape(k, 1)
+            rc = rmv_conf[:, l * k:(l + 1) * k].reshape(k, 1)
             add_dec.append((u_add < ac).astype(jnp.int32))
             rmv_dec.append((u_rmv < rc).astype(jnp.int32))
 
@@ -1110,32 +1163,33 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         # the scatter targets; bounds are SLAB-ALIGNED so the commit pass
         # never reads a stale chunk at the range edges) --------------------
         def scatter_pass(idxs, decs, out_ref, bs):
-            deci = [decs[g] > 0 for g in range(gb)]
+            deci = [decs[l] > 0 for l in range(lanes)]
 
             def body(i, _):
-                for g in range(gb):
-                    cc = ac0[g] + jnp.minimum(i, aclen[g] - 1)
-                    ok = active[g] & (i < aclen[g])
+                for l in range(lanes):
+                    rm = l // R
+                    cc = ac0[l] + jnp.minimum(i, aclen[l] - 1)
+                    ok = active[l] & (i < aclen[l])
 
                     @pl.when(ok)
-                    def _(g=g, cc=cc):
+                    def _(l=l, rm=rm, cc=cc):
                         lo = cc * chunk
-                        inter = chunk_intersects(g, cc, bs[g])
+                        inter = chunk_intersects(rm, cc, bs[l])
 
                         @pl.when(inter)
                         def _():
                             res = jnp.zeros((8, chunk), jnp.int32)
                             for r in range(8):
                                 glob_row = r * p8 + lo + chunk_iota
-                                hit = (idxs[g] == glob_row) & deci[g]
+                                hit = (idxs[l] == glob_row) & deci[l]
                                 row_hit = jnp.max(hit.astype(jnp.int32),
                                                   axis=0, keepdims=True)
                                 res = jnp.where(rows8 == r, row_hit, res)
-                            out_ref[pl.ds(g * 8, 8), pl.ds(lo, chunk)] = res
+                            out_ref[pl.ds(l * 8, 8), pl.ds(lo, chunk)] = res
 
                         @pl.when(~inter)
                         def _():
-                            out_ref[pl.ds(g * 8, 8), pl.ds(lo, chunk)] = (
+                            out_ref[pl.ds(l * 8, 8), pl.ds(lo, chunk)] = (
                                 jnp.zeros((8, chunk), jnp.int32))
 
                 return 0
@@ -1144,8 +1198,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             # duplicate-slot OR membership (ml log-prob semantics,
             # test_random_restart.py:251-271)
             slot_sels = []
-            for g in range(gb):
-                dup = (idxs[g] == idxs[g].reshape(1, k)) & deci[g]
+            for l in range(lanes):
+                dup = (idxs[l] == idxs[l].reshape(1, k)) & deci[l]
                 slot_sels.append(jnp.max(dup.astype(jnp.int32), axis=0,
                                          keepdims=True))
             return slot_sels
@@ -1155,11 +1209,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         eps = jnp.float32(1e-10)
         step_lp = []
-        for g in range(gb):
-            ac = add_conf[:, g * k:(g + 1) * k]
-            rc = rmv_conf[:, g * k:(g + 1) * k]
-            a_sel = add_slot[g] > 0
-            r_sel = rmv_slot[g] > 0
+        for l in range(lanes):
+            ac = add_conf[:, l * k:(l + 1) * k]
+            rc = rmv_conf[:, l * k:(l + 1) * k]
+            a_sel = add_slot[l] > 0
+            r_sel = rmv_slot[l] > 0
             step_lp.append(
                 (jnp.sum(jnp.log(jnp.where(a_sel, ac, 1.0 - ac) + eps))
                  + jnp.sum(jnp.log(jnp.where(r_sel, rc, 1.0 - rc) + eps))
@@ -1167,25 +1221,26 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         # --- commit pass: mask update + reductions, range-bounded ---------
         # On noneighbor the reference breaks before the update — write cur
-        # back unchanged; inert rooms likewise (branch-free).
-        keep_cur = [no_neighbor[g] | ~active[g] for g in range(gb)]
+        # back unchanged; inert lanes likewise (branch-free).
+        keep_cur = [no_neighbor[l] | ~active[l] for l in range(lanes)]
 
         def commit_body(i, carry):
             acc_cnt, mn, mx = carry
             cparts, mnp, mxp = [], [], []
-            for g in range(gb):
-                ok = active[g] & (i < slen[g])
-                lo = slab_lo(g, i)
-                curs = current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
-                adds = sel_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
-                rmvs = ranks_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] > 0
+            for l in range(lanes):
+                rm = l // R
+                ok = active[l] & (i < slen[l])
+                lo = slab_lo(l, i)
+                curs = current_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] > 0
+                adds = sel_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] > 0
+                rmvs = ranks_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] > 0
                 ncur = (curs | adds) & ~rmvs
-                commit = (curs & keep_cur[g]) | (ncur & ~keep_cur[g])
-                current_s[pl.ds(g * 8, 8), pl.ds(lo, sw)] = commit.astype(
+                commit = (curs & keep_cur[l]) | (ncur & ~keep_cur[l])
+                current_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = commit.astype(
                     jnp.int32)
                 cparts.append(adds & ok)
                 cparts.append(ncur & ok)
-                vxyz = vox_ref[g, pl.ds(0, 24), pl.ds(lo, sw)]
+                vxyz = vox_ref[rm, pl.ds(0, 24), pl.ds(lo, sw)]
                 nc3 = jnp.concatenate([ncur & ok] * 3, axis=0)
                 mnp.append(jnp.where(nc3, vxyz, BIG))
                 mxp.append(jnp.where(nc3, vxyz, -BIG))
@@ -1200,21 +1255,21 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         ccnt, mins, maxs = jax.lax.fori_loop(
             0, max_slen, commit_body,
-            (jnp.zeros((gb * 16, 1), jnp.int32),
-             jnp.full((gb * 24, 1), BIG, jnp.int32),
-             jnp.full((gb * 24, 1), -BIG, jnp.int32)))
+            (jnp.zeros((lanes * 16, 1), jnp.int32),
+             jnp.full((lanes * 24, 1), BIG, jnp.int32),
+             jnp.full((lanes * 24, 1), -BIG, jnp.int32)))
 
-        # --- per-room termination bookkeeping ------------------------------
-        out_sts, done_nows, cnts_commit, reasons = [], [], [], []
-        for g, st in enumerate(sts):
-            add_cnt = jnp.sum(ccnt[g * 16:g * 16 + 8])
-            new_cnt = jnp.sum(ccnt[g * 16 + 8:g * 16 + 16])
-            vmin_x = jnp.min(mins[g * 24:g * 24 + 8])
-            vmax_x = jnp.max(maxs[g * 24:g * 24 + 8])
-            vmin_y = jnp.min(mins[g * 24 + 8:g * 24 + 16])
-            vmax_y = jnp.max(maxs[g * 24 + 8:g * 24 + 16])
-            vmin_z = jnp.min(mins[g * 24 + 16:g * 24 + 24])
-            vmax_z = jnp.max(maxs[g * 24 + 16:g * 24 + 24])
+        # --- per-lane termination bookkeeping ------------------------------
+        out_lsts = []
+        for l, st in enumerate(lsts):
+            add_cnt = jnp.sum(ccnt[l * 16:l * 16 + 8])
+            new_cnt = jnp.sum(ccnt[l * 16 + 8:l * 16 + 16])
+            vmin_x = jnp.min(mins[l * 24:l * 24 + 8])
+            vmax_x = jnp.max(maxs[l * 24:l * 24 + 8])
+            vmin_y = jnp.min(mins[l * 24 + 8:l * 24 + 16])
+            vmax_y = jnp.max(maxs[l * 24 + 8:l * 24 + 16])
+            vmin_z = jnp.min(mins[l * 24 + 16:l * 24 + 24])
+            vmax_z = jnp.max(maxs[l * 24 + 16:l * 24 + 24])
             updated = add_cnt > 0
             within = ((vmin_x >= st.smnx) & (vmin_y >= st.smny)
                       & (vmin_z >= st.smnz) & (vmax_x <= st.smxx)
@@ -1223,22 +1278,31 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             new_stuck = jnp.where(within, st.stuck + 1, 0)
             new_steps = st.steps + 1
             hit_cap = new_steps >= max_steps
-            nng = no_neighbor[g]
-            done_now = (nng | ~updated | (new_cnt == 0) | stuck_stop
-                        | hit_cap)
+            nng = no_neighbor[l]
+            done_now = ((nng | ~updated | (new_cnt == 0) | stuck_stop
+                         | hit_cap) & active[l])
             reason = jnp.where(
                 nng, REASON_NONEIGHBOR,
                 jnp.where(~updated | (new_cnt == 0), REASON_NOEXPAND,
                           jnp.where(stuck_stop, REASON_STUCK,
                                     jnp.where(hit_cap, REASON_MAXSTEPS, 0))))
 
-            def roll(new, old, g=g, done_now=done_now, nng=nng):
+            def roll(new, old, l=l, done_now=done_now, nng=nng):
                 # bbox/stuck roll forward only while growing (post-done
                 # values feed nothing — the commit uses this step's locals)
-                return jnp.where(active[g] & ~done_now & ~nng, new, old)
+                return jnp.where(active[l] & ~done_now & ~nng, new, old)
 
-            stepped = active[g] & ~nng
-            out_sts.append(st._replace(
+            stepped = active[l] & ~nng
+            new_lp = jnp.where(stepped, st.log_prob + step_lp[l],
+                               st.log_prob)
+            cnt_final = jnp.where(nng, cur_cnt[l], new_cnt)
+            # restart score frozen at termination: cumulative decision
+            # log-prob ('ml') or final mask size ('np'),
+            # test_random_restart.py:171-177
+            score_now = new_lp if scoring_ml else cnt_final.astype(
+                jnp.float32)
+            out_lsts.append(st._replace(
+                done=st.done | done_now,
                 steps=jnp.where(stepped, new_steps, st.steps),
                 stuck=roll(new_stuck, st.stuck),
                 mnx=roll(vmin_x, st.mnx), mny=roll(vmin_y, st.mny),
@@ -1250,27 +1314,48 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 smxx=roll(jnp.maximum(st.smxx, vmax_x), st.smxx),
                 smxy=roll(jnp.maximum(st.smxy, vmax_y), st.smxy),
                 smxz=roll(jnp.maximum(st.smxz, vmax_z), st.smxz),
-                log_prob=jnp.where(stepped, st.log_prob + step_lp[g],
-                                   st.log_prob),
-                ctr=jnp.where(active[g], st.ctr + 8, st.ctr)))
-            done_nows.append(done_now & active[g])
-            cnts_commit.append(jnp.where(nng, cur_cnt[g], new_cnt))
-            reasons.append(reason)
-        return out_sts, done_nows, cnts_commit, reasons
+                log_prob=new_lp,
+                ctr=jnp.where(active[l], st.ctr + 8, st.ctr),
+                score=jnp.where(done_now, score_now, st.score),
+                cnt=jnp.where(done_now, cnt_final, st.cnt),
+                reason=jnp.where(done_now, reason, st.reason)))
+        return out_lsts
 
     # ---------------------------------------------------------------------
-    # Phase C: instance commit (per room, when its instance terminated)
+    # Phase C: instance commit (per room, when ALL its attempts terminated)
     # ---------------------------------------------------------------------
 
-    def commit_room(g, st, do_commit, cnt, reason):
-        def do(s):
-            cur = current_s[pl.ds(g * 8, 8), :] > 0
+    def commit_room(g, rst, lanes_g):
+        all_done = lanes_g[0].done
+        for r in range(1, R):
+            all_done = all_done & lanes_g[r].done
+        do_commit = all_done & ~rst.fully_done & ~rst.need_seed
+
+        def do(op):
+            s, lg = op
+            # best attempt by score, first max (numpy.argmax tie rule,
+            # test_random_restart.py:177)
+            best_score = lg[0].score
+            best_row = jnp.int32(g * R * 8)
+            best_cnt = lg[0].cnt
+            best_steps = lg[0].steps
+            best_reason = lg[0].reason
+            best_lp = lg[0].log_prob
+            for r in range(1, R):
+                better = lg[r].score > best_score
+                best_score = jnp.where(better, lg[r].score, best_score)
+                best_row = jnp.where(better, (g * R + r) * 8, best_row)
+                best_cnt = jnp.where(better, lg[r].cnt, best_cnt)
+                best_steps = jnp.where(better, lg[r].steps, best_steps)
+                best_reason = jnp.where(better, lg[r].reason, best_reason)
+                best_lp = jnp.where(better, lg[r].log_prob, best_lp)
+            cur = current_s[pl.ds(best_row, 8), :] > 0
             vis = visited_s[pl.ds(g * 8, 8), :] > 0
             vis2 = vis | cur
-            # a region always commits visited over its mask (reference
-            # stop_growing marks visited regardless of cluster size)
+            # a region always commits visited over its best mask (reference
+            # marks visited regardless of cluster size)
             visited_s[pl.ds(g * 8, 8), :] = vis2.astype(jnp.int32)
-            kept = cnt > cluster_threshold
+            kept = best_cnt > cluster_threshold
             labels_ref[g] = jnp.where(cur & kept, s.cluster_id,
                                       labels_ref[g])
             rank_g = rank_ref[g]
@@ -1284,11 +1369,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                              (max_instances, 8), 1)
             fields = [s.seed_idx.astype(jnp.float32),
                       s.target.astype(jnp.float32),
-                      s.steps.astype(jnp.float32),
-                      cnt.astype(jnp.float32),
+                      best_steps.astype(jnp.float32),
+                      best_cnt.astype(jnp.float32),
                       gt_cnt.astype(jnp.float32),
-                      reason.astype(jnp.float32),
-                      s.log_prob,
+                      best_reason.astype(jnp.float32),
+                      best_lp,
                       kept.astype(jnp.float32)]
             rec = jnp.zeros((max_instances, 8), jnp.float32)
             for i, f in enumerate(fields):
@@ -1297,18 +1382,20 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             trd = tried_s[pl.ds(g * 8, 8), :] > 0
             remaining = jnp.sum(jnp.where(valid_g & ~vis2 & ~trd, 1, 0))
             inst2 = s.inst + 1
+            # advance every lane's draw counter past the attempt (keeps
+            # R=1 streams identical to the pre-restart kernel)
+            lg2 = tuple(l._replace(ctr=l.ctr + 8) for l in lg)
             # the kernel seeds until every point is visited-or-tried (the
             # reference seeds EVERY unvisited point,
             # test_region_grow.py:186-188); inst < p is a pure safety net
             return s._replace(
                 inst=inst2,
                 cluster_id=jnp.where(kept, s.cluster_id + 1, s.cluster_id),
-                ctr=s.ctr + 8,
                 need_seed=jnp.bool_(True),
                 remaining=remaining,
-                fully_done=(remaining == 0) | (inst2 >= p))
+                fully_done=(remaining == 0) | (inst2 >= p)), lg2
 
-        return jax.lax.cond(do_commit, do, lambda s: s, st)
+        return jax.lax.cond(do_commit, do, lambda op: op, (rst, lanes_g))
 
     # ---------------------------------------------------------------------
     # The merged loop
@@ -1318,37 +1405,55 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 for g in range(gb)]
     zi = jnp.int32(0)
 
-    def init_st(g):
+    def init_rst(g):
         return _RoomSt(
             fully_done=n_valid0[g] == 0, need_seed=jnp.bool_(True),
-            inst=zi, cluster_id=jnp.int32(1), ctr=zi,
-            remaining=n_valid0[g], steps=zi, stuck=zi,
+            inst=zi, cluster_id=jnp.int32(1), remaining=n_valid0[g],
+            target=zi, seed_idx=zi)
+
+    def init_lst():
+        return _LaneSt(
+            done=jnp.bool_(False), steps=zi, stuck=zi,
             mnx=zi, mny=zi, mnz=zi, mxx=zi, mxy=zi, mxz=zi,
             smnx=zi, smny=zi, smnz=zi, smxx=zi, smxy=zi, smxz=zi,
-            log_prob=jnp.float32(0.0), target=zi, seed_idx=zi)
+            log_prob=jnp.float32(0.0), ctr=zi, score=jnp.float32(0.0),
+            cnt=zi, reason=zi)
 
-    def loop_cond(sts):
-        alive = ~sts[0].fully_done
+    def loop_cond(carry):
+        rsts, _ = carry
+        alive = ~rsts[0].fully_done
         for g in range(1, gb):
-            alive = alive | ~sts[g].fully_done
+            alive = alive | ~rsts[g].fully_done
         return alive
 
-    def loop_body(sts):
-        sts = tuple(seed_room(g, st) for g, st in enumerate(sts))
-        out_sts, done_nows, cnts_c, reasons = grow_step(list(sts))
-        return tuple(
-            commit_room(g, out_sts[g], done_nows[g], cnts_c[g], reasons[g])
-            for g in range(gb))
+    def loop_body(carry):
+        rsts, lsts = carry
+        new_r, new_l = [], list(lsts)
+        for g in range(gb):
+            r2, lg2 = seed_room(g, rsts[g],
+                                tuple(new_l[g * R:(g + 1) * R]))
+            new_r.append(r2)
+            new_l[g * R:(g + 1) * R] = list(lg2)
+        new_l = grow_step(new_r, new_l)
+        out_r, out_l = [], list(new_l)
+        for g in range(gb):
+            r3, lg3 = commit_room(g, new_r[g],
+                                  tuple(out_l[g * R:(g + 1) * R]))
+            out_r.append(r3)
+            out_l[g * R:(g + 1) * R] = list(lg3)
+        return tuple(out_r), tuple(out_l)
 
-    sts = jax.lax.while_loop(loop_cond, loop_body,
-                             tuple(init_st(g) for g in range(gb)))
+    rsts, _ = jax.lax.while_loop(
+        loop_cond, loop_body,
+        (tuple(init_rst(g) for g in range(gb)),
+         tuple(init_lst() for _ in range(lanes))))
 
     row_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     for g in range(gb):
         counters_ref[g] = (
-            jnp.where((row_c == 0) & (col_c == 0), sts[g].cluster_id - 1, 0)
-            + jnp.where((row_c == 0) & (col_c == 1), sts[g].inst, 0))
+            jnp.where((row_c == 0) & (col_c == 0), rsts[g].cluster_id - 1, 0)
+            + jnp.where((row_c == 0) & (col_c == 1), rsts[g].inst, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -1356,15 +1461,18 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 # ---------------------------------------------------------------------------
 
 def rooms_per_program_budget(p: int, feature_size: int,
+                             lanes_per_room: int = 1,
                              budget_bytes: int = 90 * 2 ** 20) -> int:
     """How many P-point rooms fit one program's VMEM (capped at 8).
 
-    Per-room bytes: feat 64, vox 12, rank 4, obj 4, labels 4, five (8, P8)
-    masks 20, recenter encodings 4*n_rec, sample keys 8 — all per padded
-    point. The 90 MB budget leaves the 126 MB scoped-vmem limit room for
-    the replicated weights (~3.3 MB) and the gb-row slab temporaries."""
+    Per-room bytes/point: feat 64, vox 12, rank 4, obj 4, labels 4,
+    visited+tried 8, recenter encodings 4*n_rec; per LANE bytes/point:
+    current+selection+ranks 12, sample keys 8. The 90 MB budget leaves the
+    126 MB scoped-vmem limit room for the replicated weights (~3.3 MB) and
+    the stacked slab temporaries."""
     n_rec = 2 + (feature_size - 6)
-    per_room = (64 + 12 + 4 + 4 + 4 + 20 + 4 * n_rec + 8) * p
+    per_room = ((64 + 12 + 4 + 4 + 4 + 8 + 4 * n_rec)
+                + 20 * lanes_per_room) * p
     return int(max(1, min(8, budget_bytes // per_room)))
 
 
@@ -1372,7 +1480,8 @@ def rooms_per_program_budget(p: int, feature_size: int,
 def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
                       cluster_threshold: int, max_instances: int,
                       exact_median: bool, n_weights: int,
-                      interpret: bool = False, rooms_per_program: int = 1):
+                      interpret: bool = False, rooms_per_program: int = 1,
+                      lanes_per_room: int = 1, scoring_ml: bool = True):
     """dp-sharded fused segmentation over the room axis: each device runs
     the multi-room kernel on its local rooms (no collectives; weights
     replicated). Callers pad the room count to a multiple of
@@ -1387,7 +1496,8 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
             feature_size=feature_size, max_steps=max_steps,
             cluster_threshold=cluster_threshold,
             max_instances=max_instances, exact_median=exact_median,
-            interpret=interpret, rooms_per_program=rooms_per_program)
+            interpret=interpret, rooms_per_program=rooms_per_program,
+            lanes_per_room=lanes_per_room, scoring_ml=scoring_ml)
 
     shard = PS(DP_AXIS)
     rep = PS()
@@ -1407,21 +1517,26 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
                            kw.get("max_instances", 512),
                            kw.get("exact_median", True), len(weights),
                            kw.get("interpret", False),
-                           kw.get("rooms_per_program", 1))
+                           kw.get("rooms_per_program", 1),
+                           kw.get("lanes_per_room", 1),
+                           kw.get("scoring_ml", True))
     return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
-    "exact_median", "interpret", "rooms_per_program"))
+    "exact_median", "interpret", "rooms_per_program", "lanes_per_room",
+    "scoring_ml"))
 def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
                      exact_median: bool = True, interpret: bool = False,
-                     rooms_per_program: int = 1):
+                     rooms_per_program: int = 1, lanes_per_room: int = 1,
+                     scoring_ml: bool = True):
     """Segment G rooms fully on device, ``rooms_per_program`` concurrently
-    per grid step (reproduces rooms_per_program=1 up to float-ULP forward
-    differences; see ``_grow_kernel``).
+    per grid step with ``lanes_per_room`` restart attempts each (reproduces
+    rooms_per_program=1 up to float-ULP forward differences; see
+    ``_grow_kernel``).
 
     seeds (G, 1) i32 (per-room PRNG seeds); feat (G, 16, P) f32;
     vox (G, 24, P8) i32; rank/obj (G, 8, P8) i32;
@@ -1445,9 +1560,11 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             f"room count {g_rooms} not divisible by rooms_per_program {gb}; "
             f"pad with inert rooms")
     n_rec = 2 + (feature_size - 6)
+    lanes = gb * lanes_per_room
 
     kernel = functools.partial(
-        _grow_kernel, gb=gb, k=k, feature_size=feature_size,
+        _grow_kernel, gb=gb, lanes_per_room=lanes_per_room,
+        scoring_ml=scoring_ml, k=k, feature_size=feature_size,
         max_steps=max_steps, cluster_threshold=cluster_threshold,
         max_instances=max_instances, chunk=chunk, exact_median=exact_median)
 
@@ -1488,18 +1605,19 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((gb * 8, p8), jnp.int32),     # visited
-            pltpu.VMEM((gb * 8, p8), jnp.int32),     # tried
-            pltpu.VMEM((gb * 8, p8), jnp.int32),     # current
-            pltpu.VMEM((gb * 8, p8), jnp.int32),     # sampling selection
-            pltpu.VMEM((gb * 8, p8), jnp.int32),     # prefix ranks
-            # per-room sortable feature encodings (exact-median source)
+            pltpu.VMEM((gb * 8, p8), jnp.int32),     # visited (per room)
+            pltpu.VMEM((gb * 8, p8), jnp.int32),     # tried (per room)
+            pltpu.VMEM((lanes * 8, p8), jnp.int32),  # current (per lane)
+            pltpu.VMEM((lanes * 8, p8), jnp.int32),  # sampling selection
+            pltpu.VMEM((lanes * 8, p8), jnp.int32),  # prefix ranks
+            # per-room sortable feature encodings (exact-median source,
+            # shared by the room's lanes)
             pltpu.VMEM((gb * n_rec * 8, p8), jnp.int32),
             # per-step MASKED sample keys (sentinel INT32_MAX outside each
-            # group's mask): per room, 8 inlier + 8 neighbor key rows.
-            # Written only for slabs in each room's bbox range; every
+            # group's mask): per lane, 8 inlier + 8 neighbor key rows.
+            # Written only for slabs in each lane's bbox range; every
             # later per-step pass reads just that range.
-            pltpu.VMEM((gb * 16, p8), jnp.int32),
+            pltpu.VMEM((lanes * 16, p8), jnp.int32),
         ],
         # the default 16 MB scoped-vmem budget is ~30 KB short at P=16384
         # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has

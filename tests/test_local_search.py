@@ -26,6 +26,28 @@ def test_random_restart(room_and_model):
         assert m.nmi > 0.4, (scoring, m)
 
 
+def test_random_restart_fused(room_and_model):
+    """Fused-kernel restart lanes: every attempt of a seed grows as a
+    concurrent lane, the best by score commits (interpret mode off-TPU)."""
+    from learn_region_grow_tpu.engine.grow import segment_rooms_fused
+
+    rf, (params, mcfg) = room_and_model
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=100)
+    for scoring in ("np", "ml"):
+        results = segment_rooms_fused(params, mcfg, [rf], gcfg,
+                                      max_instances=64, interpret=True,
+                                      num_restarts=3, scoring=scoring)
+        lbl = results[0].cluster_label
+        assert (lbl > 0).all()
+        m, _ = room_metrics(rf.obj_id, lbl)
+        assert m.nmi > 0.4, (scoring, m)
+        # deterministic across reruns
+        again = segment_rooms_fused(params, mcfg, [rf], gcfg,
+                                    max_instances=64, interpret=True,
+                                    num_restarts=3, scoring=scoring)
+        np.testing.assert_array_equal(lbl, again[0].cluster_label)
+
+
 def test_beam_search(room_and_model):
     rf, (params, mcfg) = room_and_model
     gcfg = GrowConfig(num_inlier=128, num_neighbor=128)
