@@ -81,11 +81,27 @@ def run_area(area: str, args, mcp_params, mcp_cfg) -> list:
                       resolution=args.resolution,
                       cluster_threshold=args.cluster_threshold,
                       seed=args.seed, pallas_sampling=args.fast)
+    def run_grow(verbose):
+        if args.fused:
+            # 24-row fused layout covers the 19-d features (C30 on the
+            # flagship engine, round-2 verdict ask #5)
+            from ..engine.grow import segment_rooms_fused
+            return segment_rooms_fused(params, mcfg, feats, gcfg,
+                                       verbose=verbose)
+        return segment_rooms(params, mcfg, feats, gcfg, verbose=verbose,
+                             num_parallel_seeds=args.parallel_seeds,
+                             tail_seeds=args.tail_seeds)
+
+    t_cold = 0.0
+    if args.warmup:
+        t_cold = time.time()
+        run_grow(args.verbose)
+        t_cold = time.time() - t_cold
     t_grow = time.time()
-    results = segment_rooms(params, mcfg, feats, gcfg, verbose=args.verbose,
-                            num_parallel_seeds=args.parallel_seeds,
-                            tail_seeds=args.tail_seeds)
+    results = run_grow(args.verbose and not args.warmup)
     t_grow = time.time() - t_grow
+    if args.warmup:
+        print("grow cold (compile+run) %.2fs, warm %.2fs" % (t_cold, t_grow))
 
     all_metrics = []
     total_points = 0
@@ -114,6 +130,12 @@ def main(argv=None):
     ap.add_argument("--cluster-threshold", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused multi-room Pallas kernel over the 19-d "
+                         "features (24-row layout; TPU)")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    help="skip the untimed warmup run (timing will include "
+                         "cold compiles)")
     ap.add_argument("--tail-seeds", type=int, default=0)
     ap.add_argument("--parallel-seeds", type=int, default=1)
     ap.add_argument("--data-dir", default="data")

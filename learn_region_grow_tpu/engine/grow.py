@@ -833,8 +833,8 @@ class FusedSegmenter:
         if cfg.num_inlier != cfg.num_neighbor:
             raise ValueError(
                 "fused kernel requires num_inlier == num_neighbor")
-        if cfg.feature_size > 16:
-            raise ValueError("fused kernel supports feature_size <= 16")
+        if cfg.feature_size > 24:
+            raise ValueError("fused kernel supports feature_size <= 24")
         self.dp = 1
         if mesh is not None:
             from ..parallel.mesh import TP_AXIS
@@ -894,7 +894,8 @@ class FusedSegmenter:
                  -(-g // self.dp))  # never pad beyond per-device rooms
         gp = -(-g // (gb * self.dp)) * (gb * self.dp)
         n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
-        feat = np.zeros((gp, 16, psize), np.float32)
+        feat = np.zeros((gp, _fg.feat_rows(cfg.feature_size), psize),
+                        np.float32)
         vox = np.full((gp, 24, psize // 8), _fg.PAD_VOX, np.int32)
         rank = np.full((gp, 8, psize // 8), 2 ** 30, np.int32)
         obj = np.zeros((gp, 8, psize // 8), np.int32)
@@ -1026,7 +1027,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
     device count * rooms-per-program with inert single-point rooms).
 
     Constraints (falling back is the caller's job): standard architecture
-    (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 16,
+    (``lite=None``), ``num_inlier == num_neighbor``, feature_size <= 24
+    (24-row layout covers the 19-d embedding-conditioned path),
     rooms <= ``fused_grow.MAX_FUSED_POINTS`` (524288) padded points (VMEM
     budget; per-step temporaries are column-chunked so only the room block
     itself scales with P).

@@ -79,6 +79,17 @@ def fused_chunk(p8: int) -> int:
     chunk differing from the table chunk mis-maps every skip window."""
     return min(128, p8)
 
+def feat_rows(feature_size: int) -> int:
+    """Padded feature-row count of the device (FP, P) layout: sublane-
+    aligned. 16 covers the standard 13-d features; 24 covers the 19-d
+    embedding-conditioned path (C30, ``EMBEDDING_FEATURE_SIZE``,
+    reference ``experimental/test_region_grow_emb.py``)."""
+    if feature_size > 24:
+        raise ValueError(f"feature_size {feature_size} exceeds the fused "
+                         f"kernel's 24-row feature layout")
+    return 16 if feature_size <= 16 else 24
+
+
 REASON_NONEIGHBOR = 1
 REASON_NOEXPAND = 2
 REASON_STUCK = 3
@@ -325,7 +336,7 @@ def pack_lrgnet_weights(params, feature_size: int) -> List[np.ndarray]:
         for i, layer in enumerate(layers):
             wt = np.asarray(layer["w"], np.float32).T          # (cout, cin)
             cout, cin = wt.shape
-            cin_pad = 16 if i == 0 else cin
+            cin_pad = feat_rows(feature_size) if i == 0 else cin
             m = np.zeros((cout, cin_pad), np.float32)
             m[:, :cin] = wt
             mats.append(m)
@@ -363,7 +374,8 @@ PAD_VOX = 2 ** 20      # padding-slot voxel sentinel (outside any real bbox)
 
 
 def pack_room(rf, p: int, feature_size: int):
-    """RoomFeatures -> (feat (16,P) f32, vox (24,P8) i32, rank (8,P8) i32,
+    """RoomFeatures -> (feat (FP,P) f32 with FP = feat_rows(feature_size),
+    vox (24,P8) i32, rank (8,P8) i32,
     obj (8,P8) i32, restore (n,) int64).
 
     Points are sorted by voxel (x, y, z) and laid out MOD-8 INTERLEAVED:
@@ -377,11 +389,12 @@ def pack_room(rf, p: int, feature_size: int):
     """
     n = len(rf.points)
     p8 = p // 8
+    fp = feat_rows(feature_size)
     vox_in = rf.voxels.astype(np.int64)
     order = np.lexsort((vox_in[:, 2], vox_in[:, 1], vox_in[:, 0]))
     s = np.arange(n)
     slot = (s % 8) * p8 + s // 8          # flat slot of sorted position s
-    feat = np.zeros((16, p), np.float32)
+    feat = np.zeros((fp, p), np.float32)
     feat[:feature_size, slot] = rf.points[order, :feature_size].T
     vox = np.full((3, p), PAD_VOX, np.int32)
     vox[:, slot] = rf.voxels[order].T
@@ -539,6 +552,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
     R = lanes_per_room
     lanes = gb * R
+    FP = feat_ref.shape[1]        # padded feature rows (feat_rows)
     p8 = rank_ref.shape[2]
     p = 8 * p8
     n_chunks = p8 // chunk
@@ -620,10 +634,10 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         return out
 
     def rec_rows_mask():
-        row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-        rec = jnp.zeros((16, 1), dtype=bool)
+        rowf = jax.lax.broadcasted_iota(jnp.int32, (FP, 1), 0)
+        rec = jnp.zeros((FP, 1), dtype=bool)
         for fr in rec_rows:
-            rec = rec | (row16 == fr)
+            rec = rec | (rowf == fr)
         return rec
 
     chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -937,7 +951,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         # --- rank-match gathers over bbox-intersecting chunks -------------
         def gather_pass(targets, bs):
-            """Per lane: gathered (16, k) features + (k, 1) exact global
+            """Per lane: gathered (FP, k) features + (k, 1) exact global
             indices of the sampled points. One shared chunk loop; each
             lane's MXU gather dot runs under its own intersection guard,
             back-to-back with the other lanes' (shared loop control)."""
@@ -980,7 +994,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                     out[l] = jax.lax.cond(pred, slab, lambda c: c, out[l])
                 return tuple(out)
 
-            init = tuple((jnp.zeros((16, k), jnp.float32),
+            init = tuple((jnp.zeros((FP, k), jnp.float32),
                           jnp.zeros((k, 1), jnp.int32))
                          for _ in range(lanes))
             return jax.lax.fori_loop(0, max_clen, body, init)
@@ -1008,8 +1022,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         # --- recenter offsets ---------------------------------------------
         def bisect_stack_pair(enc_stack, lo_rs, hi_rs):
-            """Both order statistics of every 16-row block in ONE stacked
-            33-pass bisection (rows [0:lanes*16] lower, [lanes*16:] upper).
+            """Both order statistics of every FP-row block in ONE stacked
+            33-pass bisection (rows [0:lanes*FP] lower, [lanes*FP:] upper).
             hi0 = 2**31 - 2 is safe: every encoding bisected here is
             strictly below INT32_MAX — sortable encodings of FINITE f32
             features reach INT32_MAX only for a NaN payload, which
@@ -1036,7 +1050,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         rmask = rec_rows_mask()
 
         def gathered_median_offsets():
-            """Exact (16, 1) offsets for lanes with cur_cnt <= k: slots
+            """Exact (FP, 1) offsets for lanes with cur_cnt <= k: slots
             [0, cnt) hold every current point exactly once (natural-order
             fill, ``sample_targets``), so the full-mask order statistics
             are computable from the gathered blocks — bit-identical to the
@@ -1046,27 +1060,27 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             for l in range(lanes):
                 enc = sortable_encode(g_in[l])
                 encs.append(jnp.where(slot < cur_cnt[l], enc, IMAX))
-                lo_rs.append(jnp.zeros((16, 1), jnp.int32)
+                lo_rs.append(jnp.zeros((FP, 1), jnp.int32)
                              + (cur_cnt[l] - 1) // 2 + 1)
-                hi_rs.append(jnp.zeros((16, 1), jnp.int32)
+                hi_rs.append(jnp.zeros((FP, 1), jnp.int32)
                              + cur_cnt[l] // 2 + 1)
             v_lo, v_hi = bisect_stack_pair(
                 jnp.concatenate(encs, axis=0),
                 jnp.concatenate(lo_rs, axis=0),
                 jnp.concatenate(hi_rs, axis=0))
             med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-            return [jnp.where(rmask, med[l * 16:(l + 1) * 16], 0.0)
+            return [jnp.where(rmask, med[l * FP:(l + 1) * FP], 0.0)
                     for l in range(lanes)]
 
         def sampled_median_offsets():
-            """(16, 1) offsets from the 512 SAMPLED inliers (fast mode)."""
+            """(FP, 1) offsets from the 512 SAMPLED inliers (fast mode)."""
             encs = [sortable_encode(g_in[l]) for l in range(lanes)]
-            lo_r = jnp.full((lanes * 16, 1), (k - 1) // 2 + 1, jnp.int32)
-            hi_r = jnp.full((lanes * 16, 1), k // 2 + 1, jnp.int32)
+            lo_r = jnp.full((lanes * FP, 1), (k - 1) // 2 + 1, jnp.int32)
+            hi_r = jnp.full((lanes * FP, 1), k // 2 + 1, jnp.int32)
             v_lo, v_hi = bisect_stack_pair(jnp.concatenate(encs, axis=0),
                                            lo_r, hi_r)
             med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-            return [jnp.where(rmask, med[l * 16:(l + 1) * 16], 0.0)
+            return [jnp.where(rmask, med[l * FP:(l + 1) * FP], 0.0)
                     for l in range(lanes)]
 
         def slab_median_offsets():
@@ -1119,12 +1133,12 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                     rowg == q, jnp.min(row_min[q * 8:(q + 1) * 8]), 0)
             v_hi = jnp.where(c_le >= hi_rk, v_lo, gmin)
             med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
-            row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+            rowf = jax.lax.broadcasted_iota(jnp.int32, (FP, 1), 0)
             offs = []
             for l in range(lanes):
-                off = jnp.zeros((16, 1), jnp.float32)
+                off = jnp.zeros((FP, 1), jnp.float32)
                 for fi, fr in enumerate(rec_rows):
-                    off = off + jnp.where(row16 == fr,
+                    off = off + jnp.where(rowf == fr,
                                           med[l * n_rec + fi, 0], 0.0)
                 offs.append(off)
             return offs
@@ -1133,7 +1147,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             small_offs = gathered_median_offsets()
             slab_offs = jax.lax.cond(
                 all_small,
-                lambda _: [jnp.zeros((16, 1), jnp.float32)
+                lambda _: [jnp.zeros((FP, 1), jnp.float32)
                            for _ in range(lanes)],
                 lambda _: slab_median_offsets(), 0)
             offs = [jnp.where(small[l], small_offs[l], slab_offs[l])
@@ -1465,14 +1479,14 @@ def rooms_per_program_budget(p: int, feature_size: int,
                              budget_bytes: int = 90 * 2 ** 20) -> int:
     """How many P-point rooms fit one program's VMEM (capped at 8).
 
-    Per-room bytes/point: feat 64, vox 12, rank 4, obj 4, labels 4,
+    Per-room bytes/point: feat 4*FP, vox 12, rank 4, obj 4, labels 4,
     visited+tried 8, recenter encodings 4*n_rec; per LANE bytes/point:
     current+selection+ranks 12, sample keys 8. The 90 MB budget leaves the
     126 MB scoped-vmem limit room for the replicated weights (~3.3 MB) and
     the stacked slab temporaries."""
     n_rec = 2 + (feature_size - 6)
-    per_room = ((64 + 12 + 4 + 4 + 4 + 8 + 4 * n_rec)
-                + 20 * lanes_per_room) * p
+    per_room = ((4 * feat_rows(feature_size) + 12 + 4 + 4 + 4 + 8
+                 + 4 * n_rec) + 20 * lanes_per_room) * p
     return int(max(1, min(8, budget_bytes // per_room)))
 
 
@@ -1538,14 +1552,19 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
     rooms_per_program=1 up to float-ULP forward differences; see
     ``_grow_kernel``).
 
-    seeds (G, 1) i32 (per-room PRNG seeds); feat (G, 16, P) f32;
+    seeds (G, 1) i32 (per-room PRNG seeds); feat (G, FP, P) f32
+    (FP = ``feat_rows(feature_size)``);
     vox (G, 24, P8) i32; rank/obj (G, 8, P8) i32;
     tbl (G, 8, n_chunks) i32 per-chunk voxel bounds (``chunk_bounds``);
     weights = pack_lrgnet_weights list. G must divide by rooms_per_program.
     Returns (labels (G, 8, P8) i32, log (G, max_instances, 8) f32,
     counters (G, 8, 128) i32).
     """
-    g_rooms, _, p = feat.shape
+    g_rooms, fp, p = feat.shape
+    if fp != feat_rows(feature_size):
+        raise ValueError(f"feat has {fp} rows; feature_size "
+                         f"{feature_size} packs to "
+                         f"{feat_rows(feature_size)} (pack_room)")
     p8 = p // 8
     chunk = fused_chunk(p8)
     if p8 % chunk != 0:
@@ -1590,7 +1609,7 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             # whole (G, 1) seed table in SMEM, indexed by program_id (a
             # blocked (1, 1) SMEM spec violates the tiling constraint)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((gb, 16, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, fp, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, 24, p8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -112,6 +112,29 @@ def test_embedding_grow_end_to_end(tiny_rooms, mcp, emb_trained):
     assert m.nmi > 0.5, f"NMI too low: {m.nmi}"
 
 
+def test_embedding_grow_fused(tiny_rooms, mcp, emb_trained):
+    """The fused kernel's 24-row feature layout carries the 19-d
+    embedding-conditioned path (round-2 verdict ask #5) at quality parity
+    with the XLA engine."""
+    from learn_region_grow_tpu.engine.grow import segment_rooms_fused
+
+    mcp_params, mcp_cfg = mcp
+    params, mcfg = emb_trained
+    room = tiny_rooms[0]
+    rf = build_embedding_features(room[:, :6], room[:, 6], room[:, 7],
+                                  mcp_params, mcp_cfg)
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128,
+                      feature_size=EMBEDDING_FEATURE_SIZE, max_steps=120)
+    res = segment_rooms_fused(params, mcfg, [rf], gcfg, max_instances=64,
+                              interpret=True)[0]
+    assert (res.cluster_label > 0).all()
+    m, _ = room_metrics(rf.obj_id, res.cluster_label)
+    res_x = segment_rooms(params, mcfg, [rf], gcfg)[0]
+    m_x, _ = room_metrics(rf.obj_id, res_x.cluster_label)
+    assert m.nmi > 0.5, f"fused 19-d NMI too low: {m.nmi} (xla {m_x.nmi})"
+    assert m.nmi > m_x.nmi - 0.2, (m.nmi, m_x.nmi)
+
+
 def test_emb_trainer_path(tiny_rooms, mcp, tmp_path):
     """``TrainConfig(emb=True)`` trains from ``embedding_area*.h5`` files and
     saves the ``lrgnet_emb_model*`` checkpoint the emb CLI driver loads."""
