@@ -27,6 +27,12 @@ def main(argv=None):
     ap.add_argument("--num-neighbor", type=int, default=512)
     ap.add_argument("--cluster-threshold", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fused", action="store_true",
+                    help="fused multi-room Pallas kernel: rollout lanes + "
+                         "on-chip prune (fused-engine speed; TPU)")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    help="skip the untimed warmup run (timing will include "
+                         "cold compiles)")
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--models-dir", default="models")
     ap.add_argument("--model", default=None)
@@ -58,10 +64,31 @@ def main(argv=None):
                           resolution=args.resolution,
                           cluster_threshold=args.cluster_threshold,
                           seed=args.seed)
-        results = segment_rooms_beam(
-            params, mcfg, feats, gcfg, beam_width=args.beam_width,
-            search_width=args.search_width, scoring=args.scoring,
-            verbose=args.verbose)
+        import time
+
+        def run_grow(verbose):
+            if args.fused:
+                from ..engine.grow import segment_rooms_fused
+                return segment_rooms_fused(
+                    params, mcfg, feats, gcfg, beam_width=args.beam_width,
+                    search_width=args.search_width, scoring=args.scoring,
+                    verbose=verbose)
+            return segment_rooms_beam(
+                params, mcfg, feats, gcfg, beam_width=args.beam_width,
+                search_width=args.search_width, scoring=args.scoring,
+                verbose=verbose)
+
+        t_cold = 0.0
+        if args.warmup:
+            t_cold = time.time()
+            run_grow(args.verbose)
+            t_cold = time.time() - t_cold
+        t_grow = time.time()
+        results = run_grow(args.verbose and not args.warmup)
+        t_grow = time.time() - t_grow
+        if args.warmup:
+            print("grow cold (compile+run) %.2fs, warm %.2fs"
+                  % (t_cold, t_grow))
         for i, rid in enumerate(kept):
             m, _ = room_metrics(feats[i].obj_id, results[i].cluster_label)
             agg.append(m)

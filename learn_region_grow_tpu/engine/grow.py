@@ -824,7 +824,8 @@ class FusedSegmenter:
                  max_instances: int = 512, exact_median: bool = True,
                  interpret: bool = False, mesh=None, verbose: bool = False,
                  truncation_warnings: bool = True, num_restarts: int = 1,
-                 scoring: str = "ml"):
+                 scoring: str = "ml", beam_width: int = 0,
+                 search_width: int = 0):
         from ..ops import fused_grow as _fg
 
         if model_cfg.lite is not None:
@@ -852,7 +853,13 @@ class FusedSegmenter:
         self.verbose = verbose
         self.truncation_warnings = truncation_warnings
         if scoring not in ("ml", "np"):
-            raise ValueError(f"unknown restart scoring {scoring!r}")
+            raise ValueError(f"unknown scoring {scoring!r}")
+        if beam_width > 0:
+            if num_restarts != 1:
+                raise ValueError("beam and restart modes are exclusive")
+            num_restarts = beam_width * search_width  # lanes per room
+        self.beam_width = beam_width
+        self.search_width = search_width
         self.num_restarts = num_restarts
         self.scoring_ml = scoring == "ml"
         self.weights = [jnp.asarray(a) for a in
@@ -922,7 +929,9 @@ class FusedSegmenter:
                   exact_median=self.exact_median,
                   interpret=self.interpret, rooms_per_program=gb,
                   lanes_per_room=self.num_restarts,
-                  scoring_ml=self.scoring_ml)
+                  scoring_ml=self.scoring_ml,
+                  beam_width=self.beam_width,
+                  search_width=self.search_width)
         t0 = time.time()
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
@@ -1006,7 +1015,9 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         verbose: bool = False,
                         truncation_warnings: bool = True,
                         num_restarts: int = 1,
-                        scoring: str = "ml") -> List[RoomResult]:
+                        scoring: str = "ml",
+                        beam_width: int = 0,
+                        search_width: int = 0) -> List[RoomResult]:
     """Segment rooms with the fused multi-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
     seed pick in curvature order, grow-to-termination, visited/cluster
@@ -1038,13 +1049,19 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
     cumulative decision log-prob, 'np' = point count) - the reference's
     random-restart variant (``test_random_restart.py:169-197``) with a
     per-attempt rather than shared step budget.
+
+    ``beam_width``/``search_width`` > 0 runs the reference's beam search
+    (``test_beam_search.py:169-292``) instead: every round each queue
+    entry spawns ``search_width`` one-step stochastic rollouts as lanes,
+    the top ``beam_width`` expanding candidates survive, and Q[0]'s mask
+    commits at stuck-twice termination.
     """
     seg = FusedSegmenter(
         params, model_cfg, cfg, min_bucket_size=min_bucket_size,
         max_instances=max_instances, exact_median=exact_median,
         interpret=interpret, mesh=mesh, verbose=verbose,
         truncation_warnings=truncation_warnings, num_restarts=num_restarts,
-        scoring=scoring)
+        scoring=scoring, beam_width=beam_width, search_width=search_width)
     seg.submit({i: rf for i, rf in enumerate(rooms)})
     res = seg.collect()
     return [res[i] for i in range(len(rooms))]

@@ -489,12 +489,43 @@ class _LaneSt(NamedTuple):
     reason: jnp.ndarray       # i32
 
 
+class _ParentSt(NamedTuple):
+    """One beam-queue entry (mask lives in the parent scratch rows)."""
+
+    valid: jnp.ndarray        # bool — entry exists in Q
+    score: jnp.ndarray        # f32 — cumulative 'ml' log-prob or 'np' count
+    cnt: jnp.ndarray          # i32 — mask size
+    mnx: jnp.ndarray          # i32 ×6 — mask voxel bbox
+    mny: jnp.ndarray
+    mnz: jnp.ndarray
+    mxx: jnp.ndarray
+    mxy: jnp.ndarray
+    mxz: jnp.ndarray
+
+
+class _BeamSt(NamedTuple):
+    """Room-level beam bookkeeping (``test_beam_search.py:155-189``):
+    Q[0]'s seen-bbox drives the stuck-twice termination; ``steps`` counts
+    executed rollouts for the per-instance record."""
+
+    smnx: jnp.ndarray         # i32 ×6 — Q[0] seen bbox
+    smny: jnp.ndarray
+    smnz: jnp.ndarray
+    smxx: jnp.ndarray
+    smxy: jnp.ndarray
+    smxz: jnp.ndarray
+    stuck: jnp.ndarray        # i32
+    steps: jnp.ndarray        # i32 — rollouts executed
+    parents: tuple            # B × _ParentSt
+
+
 # extra lane-stream decorrelation constant (wrapped odd int32)
 _LS = np.int32(np.uint32(0xB5297A4D).astype(np.int64) - 2 ** 32)
 
 
 def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                  *refs, gb: int, lanes_per_room: int, scoring_ml: bool,
+                 beam_width: int, search_width: int,
                  k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
@@ -549,6 +580,9 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         refs[21], refs[22], refs[23], refs[24], refs[25], refs[26],
         refs[27], refs[28], refs[29], refs[30])
     w = _unpack_weight_refs(refs[0:21])
+    beam = beam_width > 0
+    parent_s = refs[31] if beam else None
+    BW, SW = beam_width, search_width
 
     R = lanes_per_room
     lanes = gb * R
@@ -657,12 +691,18 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     # Phase A: seed pick (per room, only when that room needs a seed)
     # ---------------------------------------------------------------------
 
-    def seed_room(g, rst, lanes_g):
+    def seed_room(g, rst, lanes_g, bst=None):
         """Lowest unvisited-untried curvature rank becomes the next seed
         (reference ``test_region_grow.py:183-188``); writes tried and every
-        lane's current, and resets the per-attempt lane states."""
+        lane's current, and resets the per-attempt lane states. In beam
+        mode also resets the queue: Q = [(0, seed mask)]
+        (``test_beam_search.py:162-166``) with the seed mask parked in
+        parent slot 0."""
         def do(op):
-            s, lg = op
+            if beam:
+                s, lg, b_ = op
+            else:
+                s, lg = op
             rank_g = rank_ref[g]
             vis = visited_s[pl.ds(g * 8, 8), :] > 0
             trd = tried_s[pl.ds(g * 8, 8), :] > 0
@@ -687,18 +727,37 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 need_seed=jnp.bool_(False),
                 target=jnp.sum(jnp.where(seed_mask, obj_ref[g], 0)),
                 seed_idx=jnp.sum(jnp.where(seed_mask, glob_idx, 0)))
-            return s2, lg2
+            if not beam:
+                return s2, lg2
+            parent_s[pl.ds(g * BW * 8, 8), :] = sm32
+            invalid = _ParentSt(
+                valid=jnp.bool_(False), score=jnp.float32(0.0), cnt=zi,
+                mnx=zi, mny=zi, mnz=zi, mxx=zi, mxy=zi, mxz=zi)
+            p0 = invalid._replace(valid=jnp.bool_(True), cnt=jnp.int32(1),
+                                  mnx=sx, mny=sy, mnz=sz,
+                                  mxx=sx, mxy=sy, mxz=sz)
+            b2 = _BeamSt(smnx=sx, smny=sy, smnz=sz, smxx=sx, smxy=sy,
+                         smxz=sz, stuck=zi, steps=zi,
+                         parents=(p0,) + (invalid,) * (BW - 1))
+            return s2, lg2, b2
 
+        op0 = (rst, lanes_g, bst) if beam else (rst, lanes_g)
         return jax.lax.cond(rst.need_seed & ~rst.fully_done, do,
-                            lambda op: op, (rst, lanes_g))
+                            lambda op: op, op0)
 
     # ---------------------------------------------------------------------
     # Phase B: one grow step for every live lane
     # ---------------------------------------------------------------------
 
-    def grow_step(rsts, lsts):
-        active = [~rsts[l // R].fully_done & ~lsts[l].done
-                  for l in range(lanes)]
+    def grow_step(rsts, lsts, pvalid=None, pscore=None):
+        if beam:
+            # a lane rolls out only while its room is mid-queue and its
+            # parent slot is live
+            active = [~rsts[l // R].fully_done & ~rsts[l // R].need_seed
+                      & pvalid[l] for l in range(lanes)]
+        else:
+            active = [~rsts[l // R].fully_done & ~lsts[l].done
+                      for l in range(lanes)]
 
         # --- contiguous chunk range covering each lane's b_nb in x -------
         # (points pack x-sorted, so intersecting chunks form one range;
@@ -1275,6 +1334,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         # --- per-lane termination bookkeeping ------------------------------
         out_lsts = []
+        cands = []
         for l, st in enumerate(lsts):
             add_cnt = jnp.sum(ccnt[l * 16:l * 16 + 8])
             new_cnt = jnp.sum(ccnt[l * 16 + 8:l * 16 + 16])
@@ -1285,6 +1345,21 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             vmin_z = jnp.min(mins[l * 24 + 16:l * 24 + 24])
             vmax_z = jnp.max(maxs[l * 24 + 16:l * 24 + 24])
             updated = add_cnt > 0
+            if beam:
+                # candidate = this lane's post-step mask; only expanding
+                # rollouts enter newQ (``test_beam_search.py:271-276``)
+                new_cnt_f = new_cnt.astype(jnp.float32)
+                score_cand = ((pscore[l] + step_lp[l]) if scoring_ml
+                              else new_cnt_f)
+                cands.append(dict(
+                    valid=active[l] & ~no_neighbor[l] & updated,
+                    rolled=active[l] & ~no_neighbor[l],
+                    score=score_cand, cnt=new_cnt,
+                    mnx=vmin_x, mny=vmin_y, mnz=vmin_z,
+                    mxx=vmax_x, mxy=vmax_y, mxz=vmax_z))
+                out_lsts.append(st._replace(
+                    ctr=jnp.where(active[l], st.ctr + 8, st.ctr)))
+                continue
             within = ((vmin_x >= st.smnx) & (vmin_y >= st.smny)
                       & (vmin_z >= st.smnz) & (vmax_x <= st.smxx)
                       & (vmax_y <= st.smxy) & (vmax_z <= st.smxz))
@@ -1333,6 +1408,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 score=jnp.where(done_now, score_now, st.score),
                 cnt=jnp.where(done_now, cnt_final, st.cnt),
                 reason=jnp.where(done_now, reason, st.reason)))
+        if beam:
+            return out_lsts, cands
         return out_lsts
 
     # ---------------------------------------------------------------------
@@ -1412,6 +1489,155 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         return jax.lax.cond(do_commit, do, lambda op: op, (rst, lanes_g))
 
     # ---------------------------------------------------------------------
+    # Beam phases (``test_beam_search.py:169-292``): Q[0] head check before
+    # each round, one stochastic rollout per (parent, search) lane, prune
+    # to the top beam_width expanding candidates, commit Q[0]'s mask when
+    # its bbox stops growing twice or the queue empties.
+    # ---------------------------------------------------------------------
+
+    def commit_beam(g, rst, bst, do_commit, reason):
+        """Commit parent slot 0's mask as the seed's instance."""
+        def do(s):
+            p0 = bst.parents[0]
+            cur = parent_s[pl.ds(g * BW * 8, 8), :] > 0
+            vis = visited_s[pl.ds(g * 8, 8), :] > 0
+            vis2 = vis | cur
+            visited_s[pl.ds(g * 8, 8), :] = vis2.astype(jnp.int32)
+            kept = p0.cnt > cluster_threshold
+            labels_ref[g] = jnp.where(cur & kept, s.cluster_id,
+                                      labels_ref[g])
+            rank_g = rank_ref[g]
+            valid_g = rank_g < BIG
+            gt_cnt = jnp.sum(jnp.where(valid_g & (obj_ref[g] == s.target),
+                                       1, 0))
+            row_i = jax.lax.broadcasted_iota(jnp.int32,
+                                             (max_instances, 8), 0)
+            col_i = jax.lax.broadcasted_iota(jnp.int32,
+                                             (max_instances, 8), 1)
+            fields = [s.seed_idx.astype(jnp.float32),
+                      s.target.astype(jnp.float32),
+                      bst.steps.astype(jnp.float32),
+                      p0.cnt.astype(jnp.float32),
+                      gt_cnt.astype(jnp.float32),
+                      reason.astype(jnp.float32),
+                      p0.score,
+                      kept.astype(jnp.float32)]
+            rec = jnp.zeros((max_instances, 8), jnp.float32)
+            for i, f in enumerate(fields):
+                rec = rec + jnp.where(col_i == i, f, 0.0)
+            log_ref[g] = jnp.where(row_i == s.inst, rec, log_ref[g])
+            trd = tried_s[pl.ds(g * 8, 8), :] > 0
+            remaining = jnp.sum(jnp.where(valid_g & ~vis2 & ~trd, 1, 0))
+            inst2 = s.inst + 1
+            return s._replace(
+                inst=inst2,
+                cluster_id=jnp.where(kept, s.cluster_id + 1, s.cluster_id),
+                need_seed=jnp.bool_(True),
+                remaining=remaining,
+                fully_done=(remaining == 0) | (inst2 >= p))
+
+        return jax.lax.cond(do_commit, do, lambda s: s, rst)
+
+    def q0_check(g, rst, bst):
+        """Head-of-queue stuck test, run at the start of every round on
+        Q[0]'s bbox vs the accumulated seen-bbox
+        (``test_beam_search.py:177-189``); also the rollout-budget safety
+        net (the reference has none — its queue always converges via the
+        stuck rule)."""
+        alive = ~rst.fully_done & ~rst.need_seed
+        p0 = bst.parents[0]
+        within = ((p0.mnx >= bst.smnx) & (p0.mny >= bst.smny)
+                  & (p0.mnz >= bst.smnz) & (p0.mxx <= bst.smxx)
+                  & (p0.mxy <= bst.smxy) & (p0.mxz <= bst.smxz))
+        stop = alive & within & (bst.stuck >= 1)
+        cap = alive & (bst.steps >= max_steps * max(SW, 1))
+        reason = jnp.where(stop, REASON_STUCK, REASON_MAXSTEPS)
+        rst2 = commit_beam(g, rst, bst, stop | cap, reason)
+        upd = alive & ~stop & ~cap
+        sel = lambda new, old: jnp.where(upd, new, old)
+        bst2 = bst._replace(
+            stuck=sel(jnp.where(within, bst.stuck + 1, 0), bst.stuck),
+            smnx=sel(jnp.minimum(bst.smnx, p0.mnx), bst.smnx),
+            smny=sel(jnp.minimum(bst.smny, p0.mny), bst.smny),
+            smnz=sel(jnp.minimum(bst.smnz, p0.mnz), bst.smnz),
+            smxx=sel(jnp.maximum(bst.smxx, p0.mxx), bst.smxx),
+            smxy=sel(jnp.maximum(bst.smxy, p0.mxy), bst.smxy),
+            smxz=sel(jnp.maximum(bst.smxz, p0.mxz), bst.smxz))
+        return rst2, bst2
+
+    def prune_room(g, rst, bst, lanes_g, cands_g):
+        """Q = top beam_width of this round's expanding candidates
+        (``sorted(newQ)[:BEAM_WIDTH]``, first-tie like the stable sort);
+        winners' masks park in the parent slots and broadcast to their
+        rollout lanes. An empty newQ ends the search — the reference's
+        ``while len(Q) > 0`` — committing the current Q[0]."""
+        alive = ~rst.fully_done & ~rst.need_seed
+        rolled = cands_g[0]["rolled"].astype(jnp.int32)
+        any_valid_all = cands_g[0]["valid"]
+        for c in cands_g[1:]:
+            rolled = rolled + c["rolled"].astype(jnp.int32)
+            any_valid_all = any_valid_all | c["valid"]
+        # queue emptied: commit the head (mask untouched in parent slot 0)
+        rst2 = commit_beam(g, rst, bst, alive & ~any_valid_all,
+                           jnp.int32(REASON_NOEXPAND))
+
+        def do(op):
+            s, b_, lg = op
+            zi = jnp.int32(0)
+            avail = [c["valid"] for c in cands_g]
+            lane_rows = [jnp.int32((g * R + j) * 8) for j in range(R)]
+            new_parents = []
+            win_rows = []
+            neg_inf = jnp.float32(-3.4e38)
+            for b in range(BW):
+                any_v = jnp.bool_(False)
+                best = dict(score=neg_inf, row=jnp.int32(g * R * 8),
+                            cnt=jnp.int32(0), mnx=zi, mny=zi, mnz=zi,
+                            mxx=zi, mxy=zi, mxz=zi)
+                for j, c in enumerate(cands_g):
+                    pick = avail[j] & (~any_v | (c["score"] > best["score"]))
+                    best = dict(
+                        score=jnp.where(pick, c["score"], best["score"]),
+                        row=jnp.where(pick, lane_rows[j], best["row"]),
+                        cnt=jnp.where(pick, c["cnt"], best["cnt"]),
+                        mnx=jnp.where(pick, c["mnx"], best["mnx"]),
+                        mny=jnp.where(pick, c["mny"], best["mny"]),
+                        mnz=jnp.where(pick, c["mnz"], best["mnz"]),
+                        mxx=jnp.where(pick, c["mxx"], best["mxx"]),
+                        mxy=jnp.where(pick, c["mxy"], best["mxy"]),
+                        mxz=jnp.where(pick, c["mxz"], best["mxz"]))
+                    any_v = any_v | avail[j]
+                avail = [a & (lane_rows[j] != best["row"])
+                         for j, a in enumerate(avail)]
+                win_rows.append((any_v, best["row"]))
+                new_parents.append(_ParentSt(
+                    valid=any_v, score=jnp.where(any_v, best["score"], 0.0),
+                    cnt=best["cnt"], mnx=best["mnx"], mny=best["mny"],
+                    mnz=best["mnz"], mxx=best["mxx"], mxy=best["mxy"],
+                    mxz=best["mxz"]))
+            # read all winner masks BEFORE writing (a target lane row may
+            # itself be a later winner)
+            win_masks = [current_s[pl.ds(row, 8), :]
+                         for _v, row in win_rows]
+            for b in range(BW):
+                parent_s[pl.ds((g * BW + b) * 8, 8), :] = win_masks[b]
+                for sx_ in range(SW):
+                    current_s[pl.ds((g * R + b * SW + sx_) * 8, 8), :] = (
+                        win_masks[b])
+            np_ = new_parents
+            lg2 = tuple(
+                l._replace(mnx=np_[j // SW].mnx, mny=np_[j // SW].mny,
+                           mnz=np_[j // SW].mnz, mxx=np_[j // SW].mxx,
+                           mxy=np_[j // SW].mxy, mxz=np_[j // SW].mxz)
+                for j, l in enumerate(lg))
+            b2 = b_._replace(parents=tuple(new_parents),
+                             steps=b_.steps + rolled)
+            return s, b2, lg2
+
+        return jax.lax.cond(alive & any_valid_all, do, lambda op: op,
+                            (rst2, bst, lanes_g))
+
+    # ---------------------------------------------------------------------
     # The merged loop
     # ---------------------------------------------------------------------
 
@@ -1457,10 +1683,58 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             out_l[g * R:(g + 1) * R] = list(lg3)
         return tuple(out_r), tuple(out_l)
 
-    rsts, _ = jax.lax.while_loop(
-        loop_cond, loop_body,
-        (tuple(init_rst(g) for g in range(gb)),
-         tuple(init_lst() for _ in range(lanes))))
+    def loop_cond_beam(carry):
+        rsts, _, _b = carry
+        alive = ~rsts[0].fully_done
+        for g in range(1, gb):
+            alive = alive | ~rsts[g].fully_done
+        return alive
+
+    def loop_body_beam(carry):
+        rsts, lsts, bsts = carry
+        new_r, new_l, new_b = [], list(lsts), []
+        for g in range(gb):
+            r2, lg2, b2 = seed_room(g, rsts[g],
+                                    tuple(new_l[g * R:(g + 1) * R]),
+                                    bsts[g])
+            new_l[g * R:(g + 1) * R] = list(lg2)
+            r2, b2 = q0_check(g, r2, b2)
+            new_r.append(r2)
+            new_b.append(b2)
+        pvalid = [new_b[l // R].parents[(l % R) // SW].valid
+                  for l in range(lanes)]
+        pscore = [new_b[l // R].parents[(l % R) // SW].score
+                  for l in range(lanes)]
+        new_l, cands = grow_step(new_r, new_l, pvalid, pscore)
+        out_r, out_b, out_l = [], [], list(new_l)
+        for g in range(gb):
+            r3, b3, lg3 = prune_room(
+                g, new_r[g], new_b[g], tuple(out_l[g * R:(g + 1) * R]),
+                cands[g * R:(g + 1) * R])
+            out_r.append(r3)
+            out_b.append(b3)
+            out_l[g * R:(g + 1) * R] = list(lg3)
+        return tuple(out_r), tuple(out_l), tuple(out_b)
+
+    if beam:
+        def init_bst():
+            invalid = _ParentSt(
+                valid=jnp.bool_(False), score=jnp.float32(0.0), cnt=zi,
+                mnx=zi, mny=zi, mnz=zi, mxx=zi, mxy=zi, mxz=zi)
+            return _BeamSt(smnx=zi, smny=zi, smnz=zi, smxx=zi, smxy=zi,
+                           smxz=zi, stuck=zi, steps=zi,
+                           parents=(invalid,) * BW)
+
+        rsts, _, _ = jax.lax.while_loop(
+            loop_cond_beam, loop_body_beam,
+            (tuple(init_rst(g) for g in range(gb)),
+             tuple(init_lst() for _ in range(lanes)),
+             tuple(init_bst() for _ in range(gb))))
+    else:
+        rsts, _ = jax.lax.while_loop(
+            loop_cond, loop_body,
+            (tuple(init_rst(g) for g in range(gb)),
+             tuple(init_lst() for _ in range(lanes))))
 
     row_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -1495,7 +1769,8 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
                       cluster_threshold: int, max_instances: int,
                       exact_median: bool, n_weights: int,
                       interpret: bool = False, rooms_per_program: int = 1,
-                      lanes_per_room: int = 1, scoring_ml: bool = True):
+                      lanes_per_room: int = 1, scoring_ml: bool = True,
+                      beam_width: int = 0, search_width: int = 0):
     """dp-sharded fused segmentation over the room axis: each device runs
     the multi-room kernel on its local rooms (no collectives; weights
     replicated). Callers pad the room count to a multiple of
@@ -1511,7 +1786,8 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
             cluster_threshold=cluster_threshold,
             max_instances=max_instances, exact_median=exact_median,
             interpret=interpret, rooms_per_program=rooms_per_program,
-            lanes_per_room=lanes_per_room, scoring_ml=scoring_ml)
+            lanes_per_room=lanes_per_room, scoring_ml=scoring_ml,
+            beam_width=beam_width, search_width=search_width)
 
     shard = PS(DP_AXIS)
     rep = PS()
@@ -1533,20 +1809,23 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
                            kw.get("interpret", False),
                            kw.get("rooms_per_program", 1),
                            kw.get("lanes_per_room", 1),
-                           kw.get("scoring_ml", True))
+                           kw.get("scoring_ml", True),
+                           kw.get("beam_width", 0),
+                           kw.get("search_width", 0))
     return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
     "exact_median", "interpret", "rooms_per_program", "lanes_per_room",
-    "scoring_ml"))
+    "scoring_ml", "beam_width", "search_width"))
 def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
                      exact_median: bool = True, interpret: bool = False,
                      rooms_per_program: int = 1, lanes_per_room: int = 1,
-                     scoring_ml: bool = True):
+                     scoring_ml: bool = True, beam_width: int = 0,
+                     search_width: int = 0):
     """Segment G rooms fully on device, ``rooms_per_program`` concurrently
     per grid step with ``lanes_per_room`` restart attempts each (reproduces
     rooms_per_program=1 up to float-ULP forward differences; see
@@ -1579,11 +1858,18 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             f"room count {g_rooms} not divisible by rooms_per_program {gb}; "
             f"pad with inert rooms")
     n_rec = 2 + (feature_size - 6)
+    if beam_width > 0:
+        if lanes_per_room != beam_width * search_width:
+            raise ValueError(
+                f"beam mode needs lanes_per_room == beam_width * "
+                f"search_width ({beam_width}*{search_width}), got "
+                f"{lanes_per_room}")
     lanes = gb * lanes_per_room
 
     kernel = functools.partial(
         _grow_kernel, gb=gb, lanes_per_room=lanes_per_room,
-        scoring_ml=scoring_ml, k=k, feature_size=feature_size,
+        scoring_ml=scoring_ml, beam_width=beam_width,
+        search_width=search_width, k=k, feature_size=feature_size,
         max_steps=max_steps, cluster_threshold=cluster_threshold,
         max_instances=max_instances, chunk=chunk, exact_median=exact_median)
 
@@ -1637,7 +1923,11 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             # Written only for slabs in each lane's bbox range; every
             # later per-step pass reads just that range.
             pltpu.VMEM((lanes * 16, p8), jnp.int32),
-        ],
+        ] + ([
+            # beam parent masks (Q entries' pristine masks; rollout lanes
+            # copy from here each round)
+            pltpu.VMEM((gb * beam_width * 8, p8), jnp.int32),
+        ] if beam_width > 0 else []),
         # the default 16 MB scoped-vmem budget is ~30 KB short at P=16384
         # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has
         # 128 MB of VMEM and the batched buckets are sized to ~90 MB of it

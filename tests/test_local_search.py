@@ -48,6 +48,24 @@ def test_random_restart_fused(room_and_model):
         np.testing.assert_array_equal(lbl, again[0].cluster_label)
 
 
+def test_beam_search_fused(room_and_model):
+    """Fused-kernel beam: per-round rollout lanes + on-chip prune; Q[0]
+    commits at stuck-twice (interpret mode off-TPU)."""
+    from learn_region_grow_tpu.engine.grow import segment_rooms_fused
+
+    rf, (params, mcfg) = room_and_model
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=100)
+    for scoring in ("np", "ml"):
+        results = segment_rooms_fused(params, mcfg, [rf], gcfg,
+                                      max_instances=64, interpret=True,
+                                      beam_width=2, search_width=2,
+                                      scoring=scoring)
+        lbl = results[0].cluster_label
+        assert (lbl > 0).all()
+        m, _ = room_metrics(rf.obj_id, lbl)
+        assert m.nmi > 0.4, (scoring, m)
+
+
 def test_beam_search(room_and_model):
     rf, (params, mcfg) = room_and_model
     gcfg = GrowConfig(num_inlier=128, num_neighbor=128)
