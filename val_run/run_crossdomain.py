@@ -1,13 +1,27 @@
-"""Round-1 cross-domain + outdoor-resolution records.
+"""Cross-domain + outdoor-resolution records.
 
-* cross-domain: train on the scale-0.6 synthetic areas, evaluate on a
-  DIFFERENT domain (scale-1.2 rooms, different generator seed) via the
-  --cross-domain checkpoint naming (reference ``results/cross_domain``).
+Mirrors the reference's ``results/cross_domain`` table (both transfer
+directions + a classical baseline on each target):
+
+* furnished(0.5) -> box(1.2): train on the furnished fixture areas 1,2,
+  evaluate on scale-1.2 box rooms (area tag "9").
+* box(1.2) -> furnished(0.5): train on scale-1.2 box rooms (areas B=17,18),
+  evaluate on the furnished area 5.
+* smoothness baseline on each target domain (domain-free classical mode —
+  the reference table carries classical rows next to the transfer rows).
+* mix ablation: same furnished source augmented with a second scale
+  (1.0) — does training-mix scale diversity narrow the transfer drop?
+  (round-2 verdict ask #8).
 * outdoor: the reference's KITTI configs run at resolution 0.3
   (``README.md:96-98``); stage/train/eval a coarse-resolution pipeline on
   large synthetic rooms to exercise the --resolution path end-to-end.
+
+Stages: ``python run_crossdomain.py [all|cd|reverse|mix|outdoor]``.
 """
-import os, sys, time, io
+import io
+import os
+import sys
+import time
 
 BASE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(BASE))
@@ -18,19 +32,32 @@ RESULTS_OUT = os.path.join(os.path.dirname(BASE), "results", "outdoor")
 os.makedirs(RESULTS_CD, exist_ok=True)
 os.makedirs(RESULTS_OUT, exist_ok=True)
 
-from learn_region_grow_tpu.engine.grow import enable_compilation_cache
+from learn_region_grow_tpu.engine.grow import enable_compilation_cache  # noqa: E402
+
 enable_compilation_cache()
-from learn_region_grow_tpu.data.synthetic import generate_rooms
-from learn_region_grow_tpu.utils.io import save_h5_rooms
-from learn_region_grow_tpu.cli import stage_data as sd
-from learn_region_grow_tpu.cli import train_region_grow as trg
-from learn_region_grow_tpu.cli import test_region_grow as tst
+import jax  # noqa: E402
+
+from learn_region_grow_tpu.cli import benchmarks as bm  # noqa: E402
+from learn_region_grow_tpu.cli import stage_data as sd  # noqa: E402
+from learn_region_grow_tpu.cli import test_region_grow as tst  # noqa: E402
+from learn_region_grow_tpu.cli import train_region_grow as trg  # noqa: E402
+from learn_region_grow_tpu.data.synthetic import (generate_furnished_rooms,  # noqa: E402
+                                                  generate_rooms)
+from learn_region_grow_tpu.utils.io import save_h5_rooms  # noqa: E402
+
+STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
+FUSED = ["--fused"] if jax.default_backend() == "tpu" else []
 
 
 class Tee:
-    def __init__(self, *s): self.s = s
-    def write(self, x): [f.write(x) for f in self.s]
-    def flush(self): [f.flush() for f in self.s]
+    def __init__(self, *s):
+        self.s = s
+
+    def write(self, x):
+        [f.write(x) for f in self.s]
+
+    def flush(self):
+        [f.flush() for f in self.s]
 
 
 old = sys.stdout
@@ -47,31 +74,83 @@ def capture(path, fn):
 
 t0 = time.time()
 
-# ---- cross-domain: big-room target domain (area tag "9") ----
-# source domain = whatever areas 1,2 currently hold (the furnished
-# fixture since round 2); target = scale-1.2 box rooms
-big = generate_rooms(4, seed=99, scale=1.2)
-save_h5_rooms(os.path.join(DATA, "s3dis_area9.h5"), big)
-# train with --cross-domain naming on areas 1,2 (staged already)
-trg.main(["--train-area", "1,2", "--val-area", "5", "--multiseed", "4",
-          "--batch-size", "32", "--epochs", "15", "--cross-domain",
-          "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
-capture(os.path.join(RESULTS_CD, "furnished05_to_box12_lrgnet.txt"),
-        lambda: tst.main(["--area", "9", "--cross-domain",
-                          "--train-area", "1",
-                          "--data-dir", DATA, "--models-dir", MODELS]))
-print("cross-domain done %.1fs" % (time.time() - t0), flush=True)
+if STAGE in ("all", "cd"):
+    # ---- furnished(0.5) -> box(1.2) (area tag "9") ----------------------
+    big = generate_rooms(4, seed=99, scale=1.2)
+    save_h5_rooms(os.path.join(DATA, "s3dis_area9.h5"), big)
+    # train with --cross-domain naming on areas 1,2 (the furnished fixture
+    # staged by run_validation.py)
+    trg.main(["--train-area", "1,2", "--val-area", "5", "--multiseed", "4",
+              "--batch-size", "32", "--epochs", "15", "--cross-domain",
+              "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
+    capture(os.path.join(RESULTS_CD, "furnished05_to_box12_lrgnet.txt"),
+            lambda: tst.main(["--area", "9", "--cross-domain",
+                              "--train-area", "1",
+                              "--data-dir", DATA, "--models-dir", MODELS]
+                             + FUSED))
+    # classical baseline on the same target (domain-free reference row)
+    capture(os.path.join(RESULTS_CD, "box12_smoothness.txt"),
+            lambda: bm.main(["--mode", "smoothness", "--area", "9",
+                             "--data-dir", DATA, "--models-dir", MODELS]))
+    print("cross-domain fwd done %.1fs" % (time.time() - t0), flush=True)
 
-# ---- outdoor-style coarse resolution (0.3), big sparse scenes ----
-outdoor = generate_rooms(6, seed=55, scale=1.5)
-save_h5_rooms(os.path.join(DATA, "s3dis_area7.h5"), outdoor[:4])
-save_h5_rooms(os.path.join(DATA, "s3dis_area8.h5"), outdoor[4:])
-sd.main(["--area", "7", "--resolution", "0.3", "--data-dir", DATA])
-sd.main(["--area", "8", "--resolution", "0.3", "--data-dir", DATA])
-trg.main(["--train-area", "7", "--val-area", "8", "--multiseed", "0",
-          "--batch-size", "32", "--epochs", "15",
-          "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
-capture(os.path.join(RESULTS_OUT, "resolution03_lrgnet.txt"),
-        lambda: tst.main(["--area", "8", "--resolution", "0.3",
-                          "--data-dir", DATA, "--models-dir", MODELS]))
-print("outdoor done %.1fs" % (time.time() - t0), flush=True)
+if STAGE in ("all", "reverse"):
+    # ---- box(1.2) -> furnished(0.5): the REVERSE direction --------------
+    src = generate_rooms(8, seed=31, scale=1.2)
+    save_h5_rooms(os.path.join(DATA, "s3dis_area17.h5"), src[:4])
+    save_h5_rooms(os.path.join(DATA, "s3dis_area18.h5"), src[4:])
+    for seed in range(4):
+        for area in ("17", "18"):
+            sd.main(["--area", area, "--seed", str(seed),
+                     "--data-dir", DATA])
+    trg.main(["--train-area", "17,18", "--val-area", "5", "--multiseed",
+              "4", "--batch-size", "32", "--epochs", "15",
+              "--cross-domain", "--data-dir", DATA,
+              "--models-dir", MODELS, "--no-mesh"])
+    capture(os.path.join(RESULTS_CD, "box12_to_furnished05_lrgnet.txt"),
+            lambda: tst.main(["--area", "5", "--cross-domain",
+                              "--train-area", "17",
+                              "--data-dir", DATA, "--models-dir", MODELS]
+                             + FUSED))
+    capture(os.path.join(RESULTS_CD, "furnished05_smoothness.txt"),
+            lambda: bm.main(["--mode", "smoothness", "--area", "5",
+                             "--data-dir", DATA, "--models-dir", MODELS]))
+    print("cross-domain rev done %.1fs" % (time.time() - t0), flush=True)
+
+if STAGE in ("all", "mix"):
+    # ---- training-mix scale augmentation ablation ------------------------
+    # same furnished source + a scale-1.0 copy of the generator stream:
+    # does source-side scale diversity narrow the 0.96->0.69 drop?
+    mix = generate_furnished_rooms(8, seed=21, scale=1.0,
+                                   min_items=10, max_items=18)
+    save_h5_rooms(os.path.join(DATA, "s3dis_area19.h5"), mix[:4])
+    save_h5_rooms(os.path.join(DATA, "s3dis_area20.h5"), mix[4:])
+    for seed in range(4):
+        for area in ("19", "20"):
+            sd.main(["--area", area, "--seed", str(seed),
+                     "--data-dir", DATA])
+    trg.main(["--train-area", "1,2,19,20", "--val-area", "5",
+              "--multiseed", "4", "--batch-size", "32", "--epochs", "15",
+              "--cross-domain", "--data-dir", DATA,
+              "--models-dir", MODELS, "--no-mesh"])
+    capture(os.path.join(RESULTS_CD, "furnishedmix_to_box12_lrgnet.txt"),
+            lambda: tst.main(["--area", "9", "--cross-domain",
+                              "--train-area", "1",
+                              "--data-dir", DATA, "--models-dir", MODELS]
+                             + FUSED))
+    print("cross-domain mix done %.1fs" % (time.time() - t0), flush=True)
+
+if STAGE in ("all", "outdoor"):
+    # ---- outdoor-style coarse resolution (0.3), big sparse scenes -------
+    outdoor = generate_rooms(6, seed=55, scale=1.5)
+    save_h5_rooms(os.path.join(DATA, "s3dis_area7.h5"), outdoor[:4])
+    save_h5_rooms(os.path.join(DATA, "s3dis_area8.h5"), outdoor[4:])
+    sd.main(["--area", "7", "--resolution", "0.3", "--data-dir", DATA])
+    sd.main(["--area", "8", "--resolution", "0.3", "--data-dir", DATA])
+    trg.main(["--train-area", "7", "--val-area", "8", "--multiseed", "0",
+              "--batch-size", "32", "--epochs", "15",
+              "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
+    capture(os.path.join(RESULTS_OUT, "resolution03_lrgnet.txt"),
+            lambda: tst.main(["--area", "8", "--resolution", "0.3",
+                              "--data-dir", DATA, "--models-dir", MODELS]))
+    print("outdoor done %.1fs" % (time.time() - t0), flush=True)
