@@ -222,6 +222,31 @@ def test_batched_rooms_bit_identical(tiny_rooms, trained):
     np.testing.assert_allclose(lg1[..., 6], lgg[..., 6], atol=1e-4)
 
 
+def test_fused_segmenter_incremental_submit(tiny_rooms, trained):
+    """The async prep/grow-overlap API: submitting rooms in two groups
+    yields the same per-room results as one submit-everything call (room
+    PRNG seeds key off room ids, not submission order)."""
+    from learn_region_grow_tpu.engine.grow import FusedSegmenter
+
+    params, mcfg = trained
+    rfs = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
+           for r in tiny_rooms]
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=60)
+
+    one = segment_rooms_fused(params, mcfg, rfs, gcfg, max_instances=32,
+                              interpret=True)
+    seg = FusedSegmenter(params, mcfg, gcfg, max_instances=32,
+                         interpret=True)
+    seg.submit({0: rfs[0]})       # device program dispatched...
+    seg.submit({1: rfs[1]})       # ...while the host prepped room 1
+    res = seg.collect()
+    assert sorted(res) == [0, 1]
+    for i in range(2):
+        np.testing.assert_array_equal(one[i].cluster_label,
+                                      res[i].cluster_label)
+        assert one[i].num_clusters == res[i].num_clusters
+
+
 def test_split_program_batches_bounds_and_covers():
     """Per-program padded-point budget: dp-aligned chunks, full coverage,
     order preserved (the tunnel worker kills ~10-min executes)."""

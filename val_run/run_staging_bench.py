@@ -66,8 +66,12 @@ def bench_one(n_rooms: int, scale: float):
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     # host cost is linear in rooms (serial 1-core loop); device cost is
-    # sub-linear (parallel lanes) -> record both sides of the crossover
-    configs = [(4, 0.5)] if quick else [(8, 0.8), (16, 0.8)]
+    # sub-linear (parallel lanes) -> record both sides of the crossover.
+    # 32/64-room configs probe where the parallel lanes must win (round-2
+    # verdict ask #9: "benchmark staging at 32-64 rooms or retire the
+    # 'faster' claim").
+    configs = ([(4, 0.5)] if quick
+               else [(8, 0.8), (16, 0.8), (32, 0.6), (64, 0.5)])
     lines = []
     for n_rooms, scale in configs:
         lines.extend(bench_one(n_rooms, scale))

@@ -69,15 +69,20 @@ for name, mod, argv in [
     ("area5_lrgnet_fused", tst, ["--area", "5", "--fused",
                                  "--data-dir", DATA,
                                  "--models-dir", MODELS]),
+    # local search on the FUSED engine since round 3 (rollout/restart
+    # lanes on-chip; the round-2 records ran the XLA lane engine at
+    # 51-241s — verdict ask #2)
     ("localsearch_beam_np", tbs, ["--area", "5", "--scoring", "np",
+                                  "--fused",
                                   "--data-dir", DATA, "--models-dir", MODELS]),
     ("localsearch_beam_ml", tbs, ["--area", "5", "--scoring", "ml",
+                                  "--fused",
                                   "--data-dir", DATA, "--models-dir", MODELS]),
     ("localsearch_restart_np", trr, ["--area", "5", "--scoring", "np",
-                                     "--num-restarts", "5",
+                                     "--num-restarts", "5", "--fused",
                                      "--data-dir", DATA, "--models-dir", MODELS]),
     ("localsearch_restart_ml", trr, ["--area", "5", "--scoring", "ml",
-                                     "--num-restarts", "5",
+                                     "--num-restarts", "5", "--fused",
                                      "--data-dir", DATA, "--models-dir", MODELS]),
 ]:
     if STAGE not in ("all", "eval", name):
