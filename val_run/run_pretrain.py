@@ -52,6 +52,12 @@ STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
 # spans the whole scale-curve regime up to the fused kernel's cap)
 AREA4_TARGETS = (40960, 57344, 81920, 110592, 143360, 188416,
                  253952, 317440)
+# round 3: the scale curve's top bucket (NMI 0.83 @ 262k, 0.69 @ 395k in
+# round 2) sits ABOVE the round-2 training mix; the mechanics ceiling is
+# 1.0 there (results/scale_ceiling.txt), so the sag is a training gap —
+# close it with near-cap rooms in their own area (area 4's staged shards
+# stay valid)
+AREA6_TARGETS = (360448, 409600)
 
 
 def make_large_room(target_eq: int, rng):
@@ -71,21 +77,23 @@ def make_large_room(target_eq: int, rng):
     raise RuntimeError(f"could not calibrate a room for eq={target_eq}")
 
 
-def stage_area4():
+def stage_large_area(area: str, targets, rng_seed: int,
+                     staging_seeds=(0, 1, 2, 3)):
     from learn_region_grow_tpu.data.device_simulator import stage_rooms_device
     from learn_region_grow_tpu.utils.io import save_staged_h5
 
-    room_path = os.path.join(DATA, "s3dis_area4.h5")
+    room_path = os.path.join(DATA, f"s3dis_area{area}.h5")
     if not os.path.exists(room_path):
-        rng = np.random.RandomState(300)
-        rooms = [make_large_room(t, rng) for t in AREA4_TARGETS]
+        rng = np.random.RandomState(rng_seed)
+        rooms = [make_large_room(t, rng) for t in targets]
         save_h5_rooms(room_path, rooms)
-        print("generated area4 rooms:", [len(r) for r in rooms], flush=True)
+        print(f"generated area{area} rooms:",
+              [len(r) for r in rooms], flush=True)
     from learn_region_grow_tpu.utils.io import load_h5_rooms
     rooms, objs, clss = load_h5_rooms(room_path)
 
-    for seed in range(4):
-        out = os.path.join(DATA, "multiseed", f"seed{seed}_area4.h5")
+    for seed in staging_seeds:
+        out = os.path.join(DATA, "multiseed", f"seed{seed}_area{area}.h5")
         if os.path.exists(out):
             continue
         t0 = time.time()
@@ -96,8 +104,18 @@ def stage_area4():
                                      samples_cap=8192, instances_cap=256,
                                      batch_rooms=1)
         save_staged_h5(out, samples)
-        print(f"staged seed{seed}_area4: {samples.num_samples()} samples "
-              f"in {time.time() - t0:.0f}s", flush=True)
+        print(f"staged seed{seed}_area{area}: {samples.num_samples()} "
+              f"samples in {time.time() - t0:.0f}s", flush=True)
+
+
+def stage_area4():
+    stage_large_area("4", AREA4_TARGETS, rng_seed=300)
+
+
+def stage_area6():
+    # RandomState(600): disjoint from area-4 (300), scale-curve eval (100)
+    # and bench (42) streams
+    stage_large_area("6", AREA6_TARGETS, rng_seed=600)
 
 
 def train():
@@ -106,13 +124,14 @@ def train():
 
     cfg = TrainConfig(batch_size=100, max_epoch=24, multiseed=4,
                       data_dir=DATA, models_dir=os.path.join(BASE, "models"))
-    params, summary = fit(cfg, ["1", "2", "3", "4"])
+    params, summary = fit(cfg, ["1", "2", "3", "4", "6"])
     out = os.path.join(REPO, "models", "synthetic_pretrained.npz")
+    targets = AREA4_TARGETS + AREA6_TARGETS
     trained_on = (
         "synthetic mixed-scale: 3x8 box rooms scale=0.6 + %d large "
         "furnished rooms eq %dk-%dk (device-staged), multiseed%d" % (
-            len(AREA4_TARGETS), round(min(AREA4_TARGETS) / 1024),
-            round(max(AREA4_TARGETS) / 1024), cfg.multiseed))
+            len(targets), round(min(targets) / 1024),
+            round(max(targets) / 1024), cfg.multiseed))
     save_checkpoint(out, params, config={
         "feature_size": 13, "lite": None,
         "trained_on": trained_on,
@@ -125,5 +144,6 @@ def train():
 if __name__ == "__main__":
     if STAGE in ("all", "data"):
         stage_area4()
+        stage_area6()
     if STAGE in ("all", "train"):
         train()
