@@ -33,6 +33,49 @@ static inline int64_t lookup(const int64_t *keys, int64_t m, int64_t q) {
     return (lo < m && keys[lo] == q) ? lo : -1;
 }
 
+// open-addressing hash table (linear probing, power-of-two size): one
+// O(M) build turns the Q*27 probe lookups O(1) — the binary-search
+// formulation was ~60% of moments27's time at room scale (14 cache-cold
+// probes per lookup over a ~16k-key array)
+struct KeyTable {
+    int64_t *keys;   // EMPTY = INT64_MIN
+    int64_t *slots;
+    uint64_t mask;
+};
+static const int64_t KT_EMPTY = INT64_MIN;
+
+static inline uint64_t kt_hash(int64_t k) {
+    return (uint64_t)k * 0x9E3779B97F4A7C15ULL;
+}
+
+static int kt_build(KeyTable *t, const int64_t *keys, int64_t m) {
+    uint64_t cap = 16;
+    while (cap < (uint64_t)(2 * m + 1)) cap <<= 1;
+    t->keys = (int64_t *)malloc(cap * sizeof(int64_t));
+    t->slots = (int64_t *)malloc(cap * sizeof(int64_t));
+    if (!t->keys || !t->slots) { free(t->keys); free(t->slots); return 0; }
+    for (uint64_t i = 0; i < cap; ++i) t->keys[i] = KT_EMPTY;
+    t->mask = cap - 1;
+    for (int64_t s = 0; s < m; ++s) {
+        uint64_t h = kt_hash(keys[s]) & t->mask;
+        while (t->keys[h] != KT_EMPTY) h = (h + 1) & t->mask;
+        t->keys[h] = keys[s];
+        t->slots[h] = s;
+    }
+    return 1;
+}
+
+static inline int64_t kt_lookup(const KeyTable *t, int64_t q) {
+    uint64_t h = kt_hash(q) & t->mask;
+    while (t->keys[h] != KT_EMPTY) {
+        if (t->keys[h] == q) return t->slots[h];
+        h = (h + 1) & t->mask;
+    }
+    return -1;
+}
+
+static void kt_free(KeyTable *t) { free(t->keys); free(t->slots); }
+
 // xorshift64* PRNG — deterministic given seed (stream differs from NumPy's;
 // the Python fallback documents this)
 static inline uint64_t xs64(uint64_t *s) {
@@ -68,11 +111,14 @@ static PyObject *moments27(PyObject *self, PyObject *args) {
     double *o_out = (double *)PyArray_DATA((PyArrayObject *)ro);
 
     Py_BEGIN_ALLOW_THREADS
+    KeyTable kt;
+    int kt_ok = kt_build(&kt, kp, m);
     for (int64_t i = 0; i < q; ++i) {
         double nn = 0.0, ss[3] = {0, 0, 0}, oo[9] = {0};
         const int64_t *row = pp + i * 27;
         for (int j = 0; j < 27; ++j) {
-            int64_t slot = lookup(kp, m, row[j]);
+            int64_t slot = kt_ok ? kt_lookup(&kt, row[j])
+                                 : lookup(kp, m, row[j]);
             if (slot < 0) continue;
             nn += cp[slot];
             const double *sv = sp + slot * 3;
@@ -84,6 +130,7 @@ static PyObject *moments27(PyObject *self, PyObject *args) {
         memcpy(s_out + i * 3, ss, sizeof(ss));
         memcpy(o_out + i * 9, oo, sizeof(oo));
     }
+    if (kt_ok) kt_free(&kt);
     Py_END_ALLOW_THREADS
     return Py_BuildValue("(NNN)", rn, rs, ro);
 }
