@@ -199,8 +199,13 @@ def main():
             returns (results, end-to-end seconds). Prep of group i+1 runs
             while group i's program grows on the chip."""
             t0 = time.time()
+            # min_bucket 4096: the eval rooms span 0.8k-18k equalized
+            # points; 16384 buckets padded 2.5x, and padded points are
+            # what crosses the ~27 MB/s tunnel (round-2 bucketing kept one
+            # bucket per compile; the compile cache makes the 4 finer
+            # buckets free after first touch)
             seg = FusedSegmenter(params, mcfg, gcfg,
-                                 min_bucket_size=16384, max_instances=512)
+                                 min_bucket_size=4096, max_instances=512)
             group = {}
             gsize = None
             for i, r in enumerate(eval_rooms):
@@ -210,7 +215,7 @@ def main():
                 if gsize is None:
                     gsize = seg.preferred_group(len(rf.points))
                 if len(group) >= gsize:
-                    seg.submit(group)
+                    seg.submit(group)   # async: grows while we prep more
                     group = {}
             if group:
                 seg.submit(group)

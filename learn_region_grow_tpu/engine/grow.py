@@ -933,9 +933,12 @@ class FusedSegmenter:
                   beam_width=self.beam_width,
                   search_width=self.search_width)
         t0 = time.time()
+        # ship only the live feature rows (device pads to the kernel's FP
+        # layout) — the tunnel's ~27 MB/s makes transfers a pipeline term
+        feat_t = np.ascontiguousarray(feat[:, :cfg.feature_size])
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
-                jnp.asarray(seeds), jnp.asarray(feat), jnp.asarray(vox),
+                jnp.asarray(seeds), jnp.asarray(feat_t), jnp.asarray(vox),
                 jnp.asarray(rank), jnp.asarray(obj), jnp.asarray(tbl),
                 self.weights, **kw)
         else:
@@ -945,7 +948,7 @@ class FusedSegmenter:
             sh = NamedSharding(self.mesh, PS(DP_AXIS))
             labels_d, log_d, counters_d = _fg.fused_grow_rooms_sharded(
                 self.mesh, jax.device_put(seeds, sh),
-                jax.device_put(feat, sh), jax.device_put(vox, sh),
+                jax.device_put(feat_t, sh), jax.device_put(vox, sh),
                 jax.device_put(rank, sh), jax.device_put(obj, sh),
                 jax.device_put(tbl, sh), self.weights, **kw)
         self._pending.append(dict(

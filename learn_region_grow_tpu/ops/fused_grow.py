@@ -1840,10 +1840,16 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
     counters (G, 8, 128) i32).
     """
     g_rooms, fp, p = feat.shape
-    if fp != feat_rows(feature_size):
+    fp_full = feat_rows(feature_size)
+    if fp < feature_size or fp > fp_full:
         raise ValueError(f"feat has {fp} rows; feature_size "
-                         f"{feature_size} packs to "
-                         f"{feat_rows(feature_size)} (pack_room)")
+                         f"{feature_size} needs {feature_size}.."
+                         f"{fp_full} (pack_room)")
+    if fp < fp_full:
+        # callers may ship only the live feature rows (a 19% smaller
+        # host->device transfer at FP=16); zero-pad on device
+        feat = jnp.pad(feat, ((0, 0), (0, fp_full - fp), (0, 0)))
+        fp = fp_full
     p8 = p // 8
     chunk = fused_chunk(p8)
     if p8 % chunk != 0:
