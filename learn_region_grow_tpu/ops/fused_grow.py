@@ -677,6 +677,16 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
+    def read_rows_dyn(ref, row, candidates):
+        """ref[row:row+8, :] where ``row`` is traced but ranges over the
+        static ``candidates`` row starts. Mosaic's load rule cannot take a
+        dynamic start on the sublane dim — select by value over static
+        reads instead (candidates are the room's few lane rows)."""
+        out = ref[pl.ds(candidates[0], 8), pl.ds(0, p8)]
+        for c in candidates[1:]:
+            out = jnp.where(row == c, ref[pl.ds(c, 8), pl.ds(0, p8)], out)
+        return out
+
     def chunk_intersects(rm, cc, b):
         """Does room rm's column chunk cc voxel-bounds box intersect ``b``?
 
@@ -704,15 +714,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             else:
                 s, lg = op
             rank_g = rank_ref[g]
-            vis = visited_s[pl.ds(g * 8, 8), :] > 0
-            trd = tried_s[pl.ds(g * 8, 8), :] > 0
+            vis = visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
+            trd = tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             cand = (rank_g < BIG) & ~vis & ~trd
             seed_rank = jnp.min(jnp.where(cand, rank_g, BIG))
             seed_mask = cand & (rank_g == seed_rank)
-            tried_s[pl.ds(g * 8, 8), :] = (trd | seed_mask).astype(jnp.int32)
+            tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] = (trd | seed_mask).astype(jnp.int32)
             sm32 = seed_mask.astype(jnp.int32)
             for r in range(R):
-                current_s[pl.ds((g * R + r) * 8, 8), :] = sm32
+                current_s[pl.ds((g * R + r) * 8, 8), pl.ds(0, p8)] = sm32
             sx = jnp.sum(jnp.where(seed_mask, vox_ref[g, 0:8, :], 0))
             sy = jnp.sum(jnp.where(seed_mask, vox_ref[g, 8:16, :], 0))
             sz = jnp.sum(jnp.where(seed_mask, vox_ref[g, 16:24, :], 0))
@@ -729,7 +739,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 seed_idx=jnp.sum(jnp.where(seed_mask, glob_idx, 0)))
             if not beam:
                 return s2, lg2
-            parent_s[pl.ds(g * BW * 8, 8), :] = sm32
+            parent_s[pl.ds(g * BW * 8, 8), pl.ds(0, p8)] = sm32
             invalid = _ParentSt(
                 valid=jnp.bool_(False), score=jnp.float32(0.0), cnt=zi,
                 mnx=zi, mny=zi, mnz=zi, mxx=zi, mxy=zi, mxz=zi)
@@ -1440,12 +1450,13 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 best_steps = jnp.where(better, lg[r].steps, best_steps)
                 best_reason = jnp.where(better, lg[r].reason, best_reason)
                 best_lp = jnp.where(better, lg[r].log_prob, best_lp)
-            cur = current_s[pl.ds(best_row, 8), :] > 0
-            vis = visited_s[pl.ds(g * 8, 8), :] > 0
+            cur = read_rows_dyn(current_s, best_row,
+                                [(g * R + r) * 8 for r in range(R)]) > 0
+            vis = visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             vis2 = vis | cur
             # a region always commits visited over its best mask (reference
             # marks visited regardless of cluster size)
-            visited_s[pl.ds(g * 8, 8), :] = vis2.astype(jnp.int32)
+            visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] = vis2.astype(jnp.int32)
             kept = best_cnt > cluster_threshold
             labels_ref[g] = jnp.where(cur & kept, s.cluster_id,
                                       labels_ref[g])
@@ -1470,7 +1481,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             for i, f in enumerate(fields):
                 rec = rec + jnp.where(col_i == i, f, 0.0)
             log_ref[g] = jnp.where(row_i == s.inst, rec, log_ref[g])
-            trd = tried_s[pl.ds(g * 8, 8), :] > 0
+            trd = tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             remaining = jnp.sum(jnp.where(valid_g & ~vis2 & ~trd, 1, 0))
             inst2 = s.inst + 1
             # advance every lane's draw counter past the attempt (keeps
@@ -1499,10 +1510,10 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         """Commit parent slot 0's mask as the seed's instance."""
         def do(s):
             p0 = bst.parents[0]
-            cur = parent_s[pl.ds(g * BW * 8, 8), :] > 0
-            vis = visited_s[pl.ds(g * 8, 8), :] > 0
+            cur = parent_s[pl.ds(g * BW * 8, 8), pl.ds(0, p8)] > 0
+            vis = visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             vis2 = vis | cur
-            visited_s[pl.ds(g * 8, 8), :] = vis2.astype(jnp.int32)
+            visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] = vis2.astype(jnp.int32)
             kept = p0.cnt > cluster_threshold
             labels_ref[g] = jnp.where(cur & kept, s.cluster_id,
                                       labels_ref[g])
@@ -1526,7 +1537,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             for i, f in enumerate(fields):
                 rec = rec + jnp.where(col_i == i, f, 0.0)
             log_ref[g] = jnp.where(row_i == s.inst, rec, log_ref[g])
-            trd = tried_s[pl.ds(g * 8, 8), :] > 0
+            trd = tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             remaining = jnp.sum(jnp.where(valid_g & ~vis2 & ~trd, 1, 0))
             inst2 = s.inst + 1
             return s._replace(
@@ -1616,13 +1627,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                     mnz=best["mnz"], mxx=best["mxx"], mxy=best["mxy"],
                     mxz=best["mxz"]))
             # read all winner masks BEFORE writing (a target lane row may
-            # itself be a later winner)
-            win_masks = [current_s[pl.ds(row, 8), :]
+            # itself be a later winner); dynamic-row reads resolve as
+            # value-selects over the room's lane rows (read_rows_dyn)
+            lane_starts = [(g * R + j) * 8 for j in range(R)]
+            win_masks = [read_rows_dyn(current_s, row, lane_starts)
                          for _v, row in win_rows]
             for b in range(BW):
-                parent_s[pl.ds((g * BW + b) * 8, 8), :] = win_masks[b]
+                parent_s[pl.ds((g * BW + b) * 8, 8), pl.ds(0, p8)] = win_masks[b]
                 for sx_ in range(SW):
-                    current_s[pl.ds((g * R + b * SW + sx_) * 8, 8), :] = (
+                    current_s[pl.ds((g * R + b * SW + sx_) * 8, 8), pl.ds(0, p8)] = (
                         win_masks[b])
             np_ = new_parents
             lg2 = tuple(

@@ -247,6 +247,39 @@ def test_fused_segmenter_incremental_submit(tiny_rooms, trained):
         assert one[i].num_clusters == res[i].num_clusters
 
 
+def test_kernel_lowers_for_tpu_target():
+    """Cross-platform Mosaic lowering smoke: every kernel mode lowers for
+    the TPU target WITHOUT a chip (jax.export platforms=['tpu'] runs the
+    pallas->Mosaic lowering locally). Interpret mode bypasses Mosaic
+    entirely — this catches the indexing/legalization class of errors
+    (e.g. dynamic sublane-dim load starts) before any TPU time is spent."""
+    from jax import export
+
+    cfg = lrgnet.LrgNetConfig(feature_size=13)
+    params = lrgnet.init_params(jax.random.PRNGKey(0), cfg)
+    w = [jnp.asarray(a) for a in fg.pack_lrgnet_weights(params, 13)]
+    p = 2048
+    p8 = p // 8
+    nchunks = p8 // fg.fused_chunk(p8)
+    g = 2
+    args = (jnp.zeros((g, 1), jnp.int32), jnp.zeros((g, 16, p), jnp.float32),
+            jnp.zeros((g, 24, p8), jnp.int32),
+            jnp.zeros((g, 8, p8), jnp.int32),
+            jnp.zeros((g, 8, p8), jnp.int32),
+            jnp.zeros((g, 8, nchunks), jnp.int32))
+    for kw in (dict(rooms_per_program=2),
+               dict(rooms_per_program=1, lanes_per_room=3,
+                    scoring_ml=False),
+               dict(rooms_per_program=1, lanes_per_room=4, beam_width=2,
+                    search_width=2)):
+        def f(*a, kw=kw):
+            return fg.fused_grow_rooms(*a, w, k=128, feature_size=13,
+                                       max_steps=100, cluster_threshold=10,
+                                       max_instances=32, **kw)
+        exp = export.export(jax.jit(f), platforms=["tpu"])(*args)
+        assert len(exp.mlir_module_serialized) > 0, kw
+
+
 def test_split_program_batches_bounds_and_covers():
     """Per-program padded-point budget: dp-aligned chunks, full coverage,
     order preserved (the tunnel worker kills ~10-min executes)."""
