@@ -813,8 +813,8 @@ class FusedSegmenter:
     dispatches device programs WITHOUT blocking on their results (JAX async
     dispatch); ``collect()`` materializes them. This is the prep/grow
     overlap primitive — a caller preps room group i+1 on the host while
-    group i grows on the chip (``bench.py`` pipelined headline;
-    ``cli/test_region_grow.py --pipeline``). ``segment_rooms_fused`` is the
+    group i grows on the chip (``bench.py`` pipelined headline).
+    ``segment_rooms_fused`` is the
     submit-everything-then-collect convenience wrapper; see its docstring
     for semantics and constraints.
     """
@@ -854,6 +854,10 @@ class FusedSegmenter:
         self.truncation_warnings = truncation_warnings
         if scoring not in ("ml", "np"):
             raise ValueError(f"unknown scoring {scoring!r}")
+        if (beam_width > 0) != (search_width > 0):
+            raise ValueError(
+                "beam mode needs BOTH beam_width and search_width > 0 "
+                f"(got {beam_width}, {search_width})")
         if beam_width > 0:
             if num_restarts != 1:
                 raise ValueError("beam and restart modes are exclusive")
@@ -901,8 +905,9 @@ class FusedSegmenter:
                  -(-g // self.dp))  # never pad beyond per-device rooms
         gp = -(-g // (gb * self.dp)) * (gb * self.dp)
         n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
-        feat = np.zeros((gp, _fg.feat_rows(cfg.feature_size), psize),
-                        np.float32)
+        # only the live feature rows ever leave the host (the kernel
+        # zero-pads to its FP layout on device)
+        feat = np.zeros((gp, cfg.feature_size, psize), np.float32)
         vox = np.full((gp, 24, psize // 8), _fg.PAD_VOX, np.int32)
         rank = np.full((gp, 8, psize // 8), 2 ** 30, np.int32)
         obj = np.zeros((gp, 8, psize // 8), np.int32)
@@ -910,9 +915,10 @@ class FusedSegmenter:
         seeds = np.zeros((gp, 1), np.int32)
         restores = {}
         for gi, ri in enumerate(room_ids):
-            (feat[gi], vox[gi], rank[gi], obj[gi],
+            (packed, vox[gi], rank[gi], obj[gi],
              restores[gi]) = _fg.pack_room(rooms[ri], psize,
                                            cfg.feature_size)
+            feat[gi] = packed[:cfg.feature_size]
             seeds[gi, 0] = cfg.seed * 1000003 + ri
         # inert pad rooms still need one valid point or the first seed
         # pick reduces over an empty candidate set
@@ -933,12 +939,9 @@ class FusedSegmenter:
                   beam_width=self.beam_width,
                   search_width=self.search_width)
         t0 = time.time()
-        # ship only the live feature rows (device pads to the kernel's FP
-        # layout) — the tunnel's ~27 MB/s makes transfers a pipeline term
-        feat_t = np.ascontiguousarray(feat[:, :cfg.feature_size])
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
-                jnp.asarray(seeds), jnp.asarray(feat_t), jnp.asarray(vox),
+                jnp.asarray(seeds), jnp.asarray(feat), jnp.asarray(vox),
                 jnp.asarray(rank), jnp.asarray(obj), jnp.asarray(tbl),
                 self.weights, **kw)
         else:
@@ -948,7 +951,7 @@ class FusedSegmenter:
             sh = NamedSharding(self.mesh, PS(DP_AXIS))
             labels_d, log_d, counters_d = _fg.fused_grow_rooms_sharded(
                 self.mesh, jax.device_put(seeds, sh),
-                jax.device_put(feat_t, sh), jax.device_put(vox, sh),
+                jax.device_put(feat, sh), jax.device_put(vox, sh),
                 jax.device_put(rank, sh), jax.device_put(obj, sh),
                 jax.device_put(tbl, sh), self.weights, **kw)
         self._pending.append(dict(
@@ -957,7 +960,10 @@ class FusedSegmenter:
             counters_d=counters_d, t_setup=t0 - t_setup, t_launch=t0))
 
     def collect(self) -> Dict[int, RoomResult]:
-        """Materialize every submitted program's results (launch order)."""
+        """Materialize every pending program's results (launch order) and
+        return ALL results accumulated since the last collect() — the
+        store drains, so interleaved submit/collect cycles never return a
+        room twice."""
         for rec in self._pending:
             labels = np.asarray(jax.device_get(rec["labels_d"]))
             logs = np.asarray(jax.device_get(rec["log_d"]))
@@ -1005,7 +1011,9 @@ class FusedSegmenter:
                     timing={"net": net_time / g,
                             "setup": rec["t_setup"] / g})
         self._pending = []
-        return self._results
+        out = self._results
+        self._results = {}
+        return out
 
 
 def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,

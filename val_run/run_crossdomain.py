@@ -125,17 +125,24 @@ if STAGE in ("all", "mix"):
                                    min_items=10, max_items=18)
     save_h5_rooms(os.path.join(DATA, "s3dis_area19.h5"), mix[:4])
     save_h5_rooms(os.path.join(DATA, "s3dis_area20.h5"), mix[4:])
+    if not os.path.exists(os.path.join(DATA, "s3dis_area9.h5")):
+        # the target domain is shared with the cd stage; regenerate when
+        # mix runs standalone
+        save_h5_rooms(os.path.join(DATA, "s3dis_area9.h5"),
+                      generate_rooms(4, seed=99, scale=1.2))
     for seed in range(4):
         for area in ("19", "20"):
             sd.main(["--area", area, "--seed", str(seed),
                      "--data-dir", DATA])
-    trg.main(["--train-area", "1,2,19,20", "--val-area", "5",
+    # train-area list starts with 19 so the cross_domain checkpoint name
+    # (lrgnet_19.npz) cannot clobber the cd stage's lrgnet_1.npz
+    trg.main(["--train-area", "19,20,1,2", "--val-area", "5",
               "--multiseed", "4", "--batch-size", "32", "--epochs", "15",
               "--cross-domain", "--data-dir", DATA,
               "--models-dir", MODELS, "--no-mesh"])
     capture(os.path.join(RESULTS_CD, "furnishedmix_to_box12_lrgnet.txt"),
             lambda: tst.main(["--area", "9", "--cross-domain",
-                              "--train-area", "1",
+                              "--train-area", "19",
                               "--data-dir", DATA, "--models-dir", MODELS]
                              + FUSED))
     print("cross-domain mix done %.1fs" % (time.time() - t0), flush=True)
