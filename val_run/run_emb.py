@@ -59,8 +59,10 @@ if STAGE in ("all", "eval"):
     old = sys.stdout
     log = io.StringIO()
     sys.stdout = Tee(old, log)
+    import jax
+    fused = ["--fused"] if jax.default_backend() == "tpu" else []
     tre.main(["--area", "5", "--mcp-model", MCP_MODEL,
-              "--data-dir", DATA, "--models-dir", MODELS])
+              "--data-dir", DATA, "--models-dir", MODELS] + fused)
     sys.stdout = old
     with open(os.path.join(RESULTS, "area5_emb.txt"), "w") as f:
         f.write(log.getvalue())

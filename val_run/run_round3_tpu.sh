@@ -26,7 +26,8 @@ for s in $STAGES; do
       timeout 4200 python bench.py 2>&1 | tail -8 ;;
     records)
       step records
-      timeout 10800 python val_run/run_validation.py eval 2>&1 | tail -15 ;;
+      timeout 10800 python val_run/run_validation.py eval 2>&1 | tail -15
+      timeout 4200 python val_run/run_emb.py eval 2>&1 | tail -4 ;;
     completeness)
       step completeness
       timeout 4200 python val_run/run_completeness.py 2>&1 \
