@@ -107,12 +107,14 @@ def mean_nmi(feats, results):
 
 
 def log_mfu(results, t_grow, k=512, p=16384, peak_tflops=98.0):
-    """Estimated model-FLOP utilisation of the grow phase. The loop is
-    LATENCY-bound by design (sequential region growth), so MFU is small —
-    reported for the record (round-1 review: 'MFU is never measured').
-    UPPER BOUND: the gather/scatter matmuls are bbox-chunk-windowed since
-    the 131k-point kernel extension, so the per-iteration gather FLOPs
-    assumed here are the worst (whole-room) case."""
+    """Estimated model-FLOP utilisation of the grow phase. Region growth
+    is sequential WITHIN a room, so the loop is latency-bound by design;
+    the round-3 multi-room kernel amortizes that latency over up to 8
+    rooms per program (the step count here is the per-room total — the
+    same model FLOPs now land in ~1/8 the wall time). UPPER BOUND: the
+    gather/scatter matmuls are bbox-chunk-windowed, so the per-iteration
+    gather FLOPs assumed here are the worst (whole-room) case, and t is
+    the full pipeline (prep included) since round 3."""
     steps = sum(i["steps"] for r in results for i in r.instances)
     # per-iteration: 2 one-hot gather matmuls (2*16*P*k each) + the
     # dual-branch forward + split heads (~271 MFLOP at k=512)
