@@ -247,6 +247,34 @@ def test_fused_segmenter_incremental_submit(tiny_rooms, trained):
         assert one[i].num_clusters == res[i].num_clusters
 
 
+def test_segmenter_arg_validation(trained):
+    from learn_region_grow_tpu.engine.grow import FusedSegmenter
+
+    params, mcfg = trained
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128)
+    with np.testing.assert_raises(ValueError):   # beam needs both widths
+        FusedSegmenter(params, mcfg, gcfg, beam_width=2)
+    with np.testing.assert_raises(ValueError):
+        FusedSegmenter(params, mcfg, gcfg, search_width=2)
+    with np.testing.assert_raises(ValueError):   # exclusive modes
+        FusedSegmenter(params, mcfg, gcfg, beam_width=2, search_width=2,
+                       num_restarts=3)
+    with np.testing.assert_raises(ValueError):
+        FusedSegmenter(params, mcfg, gcfg, scoring="bogus")
+
+
+def test_rooms_per_program_budget_monotone():
+    """More points or lanes -> fewer rooms per program; bounds [1, 8]."""
+    b = fg.rooms_per_program_budget
+    assert b(16384, 13) == 8
+    assert b(524288, 13) == 1
+    for p in (16384, 131072, 524288):
+        assert 1 <= b(p, 13, 10) <= b(p, 13, 1) <= 8
+        assert b(2 * p, 13) <= b(p, 13)
+    # 19-d features cost more rows and encodings
+    assert b(131072, 19) <= b(131072, 13)
+
+
 def test_kernel_lowers_for_tpu_target():
     """Cross-platform Mosaic lowering smoke: every kernel mode lowers for
     the TPU target WITHOUT a chip (jax.export platforms=['tpu'] runs the
