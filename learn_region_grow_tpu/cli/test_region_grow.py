@@ -63,20 +63,16 @@ def run_area(area: str, args) -> list:
     rooms, obj_ids, cls_ids = load_h5_rooms(
         area_rooms_path(args.data_dir, area))
     keep = load_sampled_filter(args.data_dir, area)
+    kept_ids = [rid for rid in range(len(rooms)) if keep(rid)]
 
-    feats, kept_ids = [], []
-    t_feature = time.time()
-    for rid in range(len(rooms)):
-        if not keep(rid):
-            continue
-        prep = prepare_room
-        if args.device_prep:
-            from ..core.device_features import prepare_room_device as prep
-        feats.append(prep(rooms[rid], obj_ids[rid], cls_ids[rid],
-                          resolution=args.resolution,
-                          feature_size=args.feature_size))
-        kept_ids.append(rid)
-    t_feature = time.time() - t_feature
+    prep = prepare_room
+    if args.device_prep:
+        from ..core.device_features import prepare_room_device as prep
+
+    def prep_room(rid):
+        return prep(rooms[rid], obj_ids[rid], cls_ids[rid],
+                    resolution=args.resolution,
+                    feature_size=args.feature_size)
 
     gcfg = GrowConfig(num_inlier=args.num_inlier,
                       num_neighbor=args.num_neighbor,
@@ -84,30 +80,76 @@ def run_area(area: str, args) -> list:
                       resolution=args.resolution,
                       cluster_threshold=args.cluster_threshold,
                       seed=args.seed, pallas_sampling=args.fast)
-    def run_grow(verbose):
-        if args.fused:
-            from ..engine.grow import segment_rooms_fused
-            return segment_rooms_fused(params, mcfg, feats, gcfg,
-                                       verbose=verbose)
-        return segment_rooms(params, mcfg, feats, gcfg, verbose=verbose,
-                             num_parallel_seeds=args.parallel_seeds,
-                             tail_seeds=args.tail_seeds)
 
-    # warm timing by default: first-touch XLA/Pallas compiles through the
-    # remote tunnel take tens of seconds and misrepresent the engine ~20x
-    # in the checked-in pts/s records; the warmup run also prints the
-    # verbose per-instance lines (trajectories are seed-deterministic, so
-    # the timed re-run reproduces them)
-    t_cold = 0.0
-    if args.warmup:
-        t_cold = time.time()
-        run_grow(args.verbose)
-        t_cold = time.time() - t_cold
-    t_grow = time.time()
-    results = run_grow(args.verbose and not args.warmup)
-    t_grow = time.time() - t_grow
-    if args.warmup:
-        print("grow cold (compile+run) %.2fs, warm %.2fs" % (t_cold, t_grow))
+    if args.pipeline:
+        if not args.fused:
+            raise SystemExit("--pipeline requires --fused")
+        from ..engine.grow import FusedSegmenter
+
+        def run_pipeline(verbose):
+            """Prep/grow overlap: room i+1 preps on the host while room
+            i's group grows on-chip (async submit)."""
+            t0 = time.time()
+            seg = FusedSegmenter(params, mcfg, gcfg, verbose=verbose)
+            group, gsize, fts = {}, None, []
+            for i, rid in enumerate(kept_ids):
+                rf = prep_room(rid)
+                fts.append(rf)
+                group[i] = rf
+                if gsize is None:
+                    gsize = seg.preferred_group(len(rf.points))
+                if len(group) >= gsize:
+                    seg.submit(group)
+                    group = {}
+            if group:
+                seg.submit(group)
+            res = seg.collect()
+            return fts, [res[i] for i in range(len(kept_ids))], \
+                time.time() - t0
+
+        if args.warmup:
+            t_cold = time.time()
+            run_pipeline(args.verbose)
+            t_cold = time.time() - t_cold
+        feats, results, t_pipe = run_pipeline(
+            args.verbose and not args.warmup)
+        if args.warmup:
+            print("pipeline cold (compile+run) %.2fs, warm %.2fs"
+                  % (t_cold, t_pipe))
+        # phase split is deliberately not separable in pipeline mode
+        t_feature, t_grow = 0.0, t_pipe
+    else:
+        feats = []
+        t_feature = time.time()
+        for rid in kept_ids:
+            feats.append(prep_room(rid))
+        t_feature = time.time() - t_feature
+
+        def run_grow(verbose):
+            if args.fused:
+                from ..engine.grow import segment_rooms_fused
+                return segment_rooms_fused(params, mcfg, feats, gcfg,
+                                           verbose=verbose)
+            return segment_rooms(params, mcfg, feats, gcfg, verbose=verbose,
+                                 num_parallel_seeds=args.parallel_seeds,
+                                 tail_seeds=args.tail_seeds)
+
+        # warm timing by default: first-touch XLA/Pallas compiles through
+        # the remote tunnel take tens of seconds and misrepresent the
+        # engine ~20x in the checked-in pts/s records; the warmup run also
+        # prints the verbose per-instance lines (trajectories are
+        # seed-deterministic, so the timed re-run reproduces them)
+        t_cold = 0.0
+        if args.warmup:
+            t_cold = time.time()
+            run_grow(args.verbose)
+            t_cold = time.time() - t_cold
+        t_grow = time.time()
+        results = run_grow(args.verbose and not args.warmup)
+        t_grow = time.time() - t_grow
+        if args.warmup:
+            print("grow cold (compile+run) %.2fs, warm %.2fs"
+                  % (t_cold, t_grow))
 
     t_post = time.time()
     all_metrics = []
@@ -138,9 +180,14 @@ def run_area(area: str, args) -> list:
     COMP_TIME["feature"].append(t_feature)
     COMP_TIME["grow"].append(t_grow)
     COMP_TIME["fill_metrics"].append(time.time() - t_post)
-    print("timing: feature %.2fs grow %.2fs  %.0f points/sec" % (
-        t_feature, t_grow,
-        total_points / max(t_feature + t_grow, 1e-9)))
+    if args.pipeline:
+        print("timing: pipeline %.2fs (prep overlapped with growth)  "
+              "%.0f points/sec" % (t_grow,
+                                   total_points / max(t_grow, 1e-9)))
+    else:
+        print("timing: feature %.2fs grow %.2fs  %.0f points/sec" % (
+            t_feature, t_grow,
+            total_points / max(t_feature + t_grow, 1e-9)))
     return all_metrics
 
 
@@ -163,9 +210,15 @@ def main(argv=None):
                     help="Pallas stratified sampling + sampled-subset median "
                          "(validated ~equal NMI; TPU only)")
     ap.add_argument("--fused", action="store_true",
-                    help="fused whole-room Pallas kernel: exact reference "
-                         "semantics, zero host round-trips (TPU; rooms "
+                    help="fused multi-room Pallas kernel: exact reference "
+                         "semantics, zero host round-trips, up to 8 rooms "
+                         "growing concurrently per program (TPU; rooms "
                          "<= 524288 padded points)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="overlap host feature prep of the next room group "
+                         "with on-chip growth (async FusedSegmenter; "
+                         "implies one end-to-end timing number; requires "
+                         "--fused)")
     ap.add_argument("--device-prep", action="store_true",
                     help="run feature prep (equalize/normals/curvature) as "
                          "one jitted device program (core/device_features). "
