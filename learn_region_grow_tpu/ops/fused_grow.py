@@ -1002,17 +1002,32 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                         [jnp.zeros((lanes * 8, d), jnp.int32),
                          cum[:, :sw - d]], axis=1)
                     d *= 2
+                # Mosaic workaround: reducing per-lane SLICES of the
+                # narrow (lanes*8, n_slabs) arrays under a where() aborts
+                # the TPU compiler's custom-call lowering pass ("Check
+                # failed: limits[i] <= dim(i)", server build 2026-08-19);
+                # the masked reduction must run on the FULL array against
+                # a per-row target-slab column, and only the (lanes*8, 1)
+                # result may be row-sliced (repro: /tmp-archived
+                # min-cases; slice+where crashes, full where + 1-col
+                # slice compiles).
+                rowq = jax.lax.broadcasted_iota(jnp.int32,
+                                                (lanes * 8, 1), 0) // 8
+                s_col = jnp.zeros((lanes * 8, 1), jnp.int32)
+                for l in range(lanes):
+                    s_col = s_col + jnp.where(
+                        rowq == l, smin[l] + jnp.minimum(i, slen[l] - 1),
+                        0)
+                prior_full = jnp.sum(jnp.where(cidx == s_col,
+                                               row_prior, 0),
+                                     axis=1, keepdims=True)
                 for l in range(lanes):
                     lo = slab_lo(l, i)
-                    s_l = smin[l] + jnp.minimum(i, slen[l] - 1)
-                    prior = jnp.sum(
-                        jnp.where(cidx[l * 8:(l + 1) * 8] == s_l,
-                                  row_prior[l * 8:(l + 1) * 8], 0),
-                        axis=1, keepdims=True)
                     sel_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = (
                         sel[l * 8:(l + 1) * 8].astype(jnp.int32))
                     ranks_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = (
-                        cum[l * 8:(l + 1) * 8] + prior
+                        cum[l * 8:(l + 1) * 8]
+                        + prior_full[l * 8:(l + 1) * 8]
                         + row_base[l * 8:(l + 1) * 8])
                 return 0
 
