@@ -44,6 +44,9 @@ for s in $STAGES; do
     scale)
       step scale
       timeout 10800 python val_run/run_scale.py 2>&1 | tail -14 ;;
+    cap)
+      step cap
+      timeout 4200 python val_run/run_cap.py 2>&1 | tail -6 ;;
     *) echo "unknown stage $s" ;;
   esac
 done
