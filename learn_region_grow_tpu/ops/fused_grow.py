@@ -1008,9 +1008,9 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 # failed: limits[i] <= dim(i)", server build 2026-08-19);
                 # the masked reduction must run on the FULL array against
                 # a per-row target-slab column, and only the (lanes*8, 1)
-                # result may be row-sliced (repro: /tmp-archived
-                # min-cases; slice+where crashes, full where + 1-col
-                # slice compiles).
+                # result may be row-sliced (repro:
+                # scripts/mosaic_repro_min.py — case 5 aborts, case 7
+                # is this formulation).
                 rowq = jax.lax.broadcasted_iota(jnp.int32,
                                                 (lanes * 8, 1), 0) // 8
                 s_col = jnp.zeros((lanes * 8, 1), jnp.int32)
