@@ -113,8 +113,8 @@ def log_mfu(results, t_grow, k=512, p=16384, peak_tflops=98.0):
     rooms per program (the step count here is the per-room total — the
     same model FLOPs now land in ~1/8 the wall time). UPPER BOUND: the
     gather/scatter matmuls are bbox-chunk-windowed, so the per-iteration
-    gather FLOPs assumed here are the worst (whole-room) case, and t is
-    the full pipeline (prep included) since round 3."""
+    gather FLOPs assumed here are the worst (whole-room) case; t_grow is
+    the grow-only min-of-5 (prep excluded)."""
     steps = sum(i["steps"] for r in results for i in r.instances)
     # per-iteration: 2 one-hot gather matmuls (2*16*P*k each) + the
     # dual-branch forward + split heads (~271 MFLOP at k=512)
@@ -252,7 +252,21 @@ def main():
         log(f"pipeline (prep+grow) {t_pipe:.2f}s (fused={use_fused})")
         log("mean NMI %.3f" % mean_nmi(feats, results))
         if use_fused:
-            log_mfu(results, t_pipe)
+            # grow-only min-of-5 on pre-prepped features: the round-2
+            # protocol comparator (its headline timed growth beside a
+            # one-shot prep), and the honest denominator for grow MFU
+            from learn_region_grow_tpu.engine.grow import (
+                segment_rooms_fused)
+            t_grow = float("inf")
+            for _ in range(5):
+                t0 = time.time()
+                segment_rooms_fused(params, mcfg, feats, gcfg,
+                                    min_bucket_size=4096,
+                                    max_instances=512)
+                t_grow = min(t_grow, time.time() - t0)
+            log(f"grow-only {t_grow:.2f}s min-of-5 "
+                "(round-2 comparator: 0.66s one room at a time)")
+            log_mfu(results, t_grow)
         pps = raw_points / t_pipe
         metric = ("region_growing_inference_points_per_sec"
                   if mode == "fused"
