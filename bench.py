@@ -257,16 +257,27 @@ def main():
             # one-shot prep), and the honest denominator for grow MFU
             from learn_region_grow_tpu.engine.grow import (
                 segment_rooms_fused)
-            t_grow = float("inf")
+
+            def run_grow_only():
+                return segment_rooms_fused(params, mcfg, feats, gcfg,
+                                           min_bucket_size=4096,
+                                           max_instances=512)
+
+            run_grow_only()  # warmup: absorb dispatch/compile overhead
+            t_grow, grow_results = float("inf"), None
             for _ in range(5):
                 t0 = time.time()
-                segment_rooms_fused(params, mcfg, feats, gcfg,
-                                    min_bucket_size=4096,
-                                    max_instances=512)
-                t_grow = min(t_grow, time.time() - t0)
-            log(f"grow-only {t_grow:.2f}s min-of-5 "
-                "(round-2 comparator: 0.66s one room at a time)")
-            log_mfu(results, t_grow)
+                r = run_grow_only()
+                dt = time.time() - t0
+                if dt < t_grow:
+                    t_grow, grow_results = dt, r
+            log(f"grow-only {t_grow:.2f}s min-of-5, multi-room kernel "
+                "(round-2 protocol differed: one room at a time at "
+                "min_bucket 16384, 0.66s)")
+            # MFU step counts come from the SAME timed grow-only runs
+            # (per-room trajectories are deterministic, but pairing them
+            # keeps the accounting self-contained)
+            log_mfu(grow_results, t_grow)
         pps = raw_points / t_pipe
         metric = ("region_growing_inference_points_per_sec"
                   if mode == "fused"

@@ -1,5 +1,5 @@
 """CLI: beam-search region-growing inference
-(reference ``test_beam_search.py``; ``--scoring ml|np``)."""
+(reference ``test_beam_search.py``; ``--scoring ml|np|cp``)."""
 
 import argparse
 
@@ -18,7 +18,9 @@ def main(argv=None):
     enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--area", default="5")
-    ap.add_argument("--scoring", default="np", choices=["np", "ml"])
+    ap.add_argument("--scoring", default="np",
+                choices=["np", "ml", "cp"],
+                help="attempt ranking: np = mask point count, ml = cumulative decision log-prob, cp = completeness-head prediction (needs --fused and a complete_head checkpoint)")
     ap.add_argument("--beam-width", type=int, default=3)
     ap.add_argument("--search-width", type=int, default=3)
     ap.add_argument("--resolution", type=float, default=0.1)

@@ -1,6 +1,6 @@
 """CLI: random-restart region-growing inference
 (reference ``test_random_restart.py``; restarts run as parallel device lanes
-instead of serial re-runs; ``--scoring ml|np``)."""
+instead of serial re-runs; ``--scoring ml|np|cp``)."""
 
 import argparse
 
@@ -18,7 +18,9 @@ def main(argv=None):
     enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--area", default="5")
-    ap.add_argument("--scoring", default="np", choices=["np", "ml"])
+    ap.add_argument("--scoring", default="np",
+                choices=["np", "ml", "cp"],
+                help="attempt ranking: np = mask point count, ml = cumulative decision log-prob, cp = completeness-head prediction (needs --fused and a complete_head checkpoint)")
     ap.add_argument("--num-restarts", type=int, default=10)
     ap.add_argument("--resolution", type=float, default=0.1)
     ap.add_argument("--feature-size", type=int, default=13)

@@ -90,7 +90,8 @@ def run_area(area: str, args) -> list:
             """Prep/grow overlap: room i+1 preps on the host while room
             i's group grows on-chip (async submit)."""
             t0 = time.time()
-            seg = FusedSegmenter(params, mcfg, gcfg, verbose=verbose)
+            seg = FusedSegmenter(params, mcfg, gcfg, verbose=verbose,
+                                 num_parallel_seeds=args.parallel_seeds)
             group, gsize, fts = {}, None, []
             for i, rid in enumerate(kept_ids):
                 rf = prep_room(rid)
@@ -128,8 +129,9 @@ def run_area(area: str, args) -> list:
         def run_grow(verbose):
             if args.fused:
                 from ..engine.grow import segment_rooms_fused
-                return segment_rooms_fused(params, mcfg, feats, gcfg,
-                                           verbose=verbose)
+                return segment_rooms_fused(
+                    params, mcfg, feats, gcfg, verbose=verbose,
+                    num_parallel_seeds=args.parallel_seeds)
             return segment_rooms(params, mcfg, feats, gcfg, verbose=verbose,
                                  num_parallel_seeds=args.parallel_seeds,
                                  tail_seeds=args.tail_seeds)
@@ -242,6 +244,11 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
+    # reset per invocation: record generators call main() repeatedly in one
+    # process, and a stale accumulation mixes other runs' (possibly cold)
+    # timings into this record's table (round-3 verdict weak #6)
+    for vals in COMP_TIME.values():
+        vals.clear()
     agg = []
     for area in args.area.split(","):
         agg.extend(run_area(area, args))

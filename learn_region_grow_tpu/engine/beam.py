@@ -66,6 +66,11 @@ def segment_rooms_beam(params, model_cfg: lrgnet.LrgNetConfig,
                        scoring: str = "np",
                        max_rounds: int = 500,
                        verbose: bool = False) -> List[RoomResult]:
+    if scoring not in ("ml", "np"):
+        raise ValueError(
+            f"the XLA beam engine supports scoring 'ml'/'np' (got "
+            f"{scoring!r}); completeness-head 'cp' scoring runs on the "
+            f"fused kernel (--fused / FusedSegmenter beam mode)")
     results: List[Optional[RoomResult]] = [None] * len(rooms)
     base_rng = jax.random.PRNGKey(cfg.seed)
 

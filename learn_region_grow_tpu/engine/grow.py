@@ -603,6 +603,11 @@ def segment_rooms(params, model_cfg: lrgnet.LrgNetConfig,
     padded to a multiple of the device count with inert rooms. Per-lane
     results are bit-identical to ``mesh=None``.
     """
+    if scoring not in ("ml", "np"):
+        raise ValueError(
+            f"the XLA lane engine supports scoring 'ml'/'np' (got "
+            f"{scoring!r}); completeness-head 'cp' scoring runs on the "
+            f"fused kernel (--fused / segment_rooms_fused)")
     dp = 1
     if mesh is not None:
         from ..parallel.mesh import TP_AXIS
@@ -825,7 +830,8 @@ class FusedSegmenter:
                  interpret: bool = False, mesh=None, verbose: bool = False,
                  truncation_warnings: bool = True, num_restarts: int = 1,
                  scoring: str = "ml", beam_width: int = 0,
-                 search_width: int = 0):
+                 search_width: int = 0, num_parallel_seeds: int = 1,
+                 seed_separation: int = 12):
         from ..ops import fused_grow as _fg
 
         if model_cfg.lite is not None:
@@ -852,8 +858,14 @@ class FusedSegmenter:
         self.interpret = interpret
         self.verbose = verbose
         self.truncation_warnings = truncation_warnings
-        if scoring not in ("ml", "np"):
+        if scoring not in ("ml", "np", "cp"):
             raise ValueError(f"unknown scoring {scoring!r}")
+        if scoring == "cp" and "complete_head" not in params:
+            raise ValueError(
+                "'cp' scoring ranks attempts by the completeness head; the "
+                "checkpoint has no complete_head (train with "
+                "TrainConfig.completeness_head, e.g. "
+                "val_run/run_completeness.py -> lrgnet_model5_cp.npz)")
         if (beam_width > 0) != (search_width > 0):
             raise ValueError(
                 "beam mode needs BOTH beam_width and search_width > 0 "
@@ -862,12 +874,24 @@ class FusedSegmenter:
             if num_restarts != 1:
                 raise ValueError("beam and restart modes are exclusive")
             num_restarts = beam_width * search_width  # lanes per room
+        self.parallel_seeds = num_parallel_seeds > 1
+        self.seed_separation = seed_separation
+        if self.parallel_seeds:
+            # W seeds per room grow as concurrent lanes with wave-priority
+            # commit — the relaxed mode of SURVEY.md §7 hard-part #1 (the
+            # XLA engine's num_parallel_seeds rule, now on the fused
+            # kernel); exclusive with the other lane uses
+            if num_restarts != 1 or beam_width > 0:
+                raise ValueError("parallel seeds are exclusive with "
+                                 "restart/beam lanes")
+            num_restarts = num_parallel_seeds  # lanes per room
         self.beam_width = beam_width
         self.search_width = search_width
         self.num_restarts = num_restarts
-        self.scoring_ml = scoring == "ml"
+        self.scoring = scoring
         self.weights = [jnp.asarray(a) for a in
-                        _fg.pack_lrgnet_weights(params, cfg.feature_size)]
+                        _fg.pack_lrgnet_weights(params, cfg.feature_size,
+                                                with_complete=scoring == "cp")]
         self._pending: List[dict] = []
         self._results: Dict[int, RoomResult] = {}
 
@@ -900,9 +924,17 @@ class FusedSegmenter:
         # rooms per program: as many rooms as fit one program's VMEM grow
         # CONCURRENTLY (the merged multi-room kernel); pad the room count
         # so each device's grid divides evenly (inert tail rooms)
+        per_dev = -(-g // self.dp)  # never pad beyond per-device rooms
         gb = min(_fg.rooms_per_program_budget(psize, cfg.feature_size,
-                                              self.num_restarts),
-                 -(-g // self.dp))  # never pad beyond per-device rooms
+                                              self.num_restarts), per_dev)
+        if per_dev > gb:
+            # the grid will span several programs: Mosaic double-buffers
+            # every program-indexed window, so the per-program room count
+            # must fit the pipelined (smaller) budget (round-4 fix: an
+            # 8-room launch at P=131072 compiled 139.9/128 MB VMEM)
+            gb = _fg.rooms_per_program_budget(psize, cfg.feature_size,
+                                              self.num_restarts,
+                                              pipelined=True)
         gp = -(-g // (gb * self.dp)) * (gb * self.dp)
         n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
         # only the live feature rows ever leave the host (the kernel
@@ -935,9 +967,11 @@ class FusedSegmenter:
                   exact_median=self.exact_median,
                   interpret=self.interpret, rooms_per_program=gb,
                   lanes_per_room=self.num_restarts,
-                  scoring_ml=self.scoring_ml,
+                  scoring=self.scoring,
                   beam_width=self.beam_width,
-                  search_width=self.search_width)
+                  search_width=self.search_width,
+                  parallel_seeds=self.parallel_seeds,
+                  seed_separation=self.seed_separation)
         t0 = time.time()
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
@@ -1028,7 +1062,9 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         num_restarts: int = 1,
                         scoring: str = "ml",
                         beam_width: int = 0,
-                        search_width: int = 0) -> List[RoomResult]:
+                        search_width: int = 0,
+                        num_parallel_seeds: int = 1,
+                        seed_separation: int = 12) -> List[RoomResult]:
     """Segment rooms with the fused multi-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
     seed pick in curvature order, grow-to-termination, visited/cluster
@@ -1066,13 +1102,22 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
     entry spawns ``search_width`` one-step stochastic rollouts as lanes,
     the top ``beam_width`` expanding candidates survive, and Q[0]'s mask
     commits at stuck-twice termination.
+
+    ``num_parallel_seeds`` (W) > 1 RELAXES the reference's sequential seed
+    order: each wave grows the W lowest-curvature-rank seeds (>=
+    ``seed_separation`` voxels apart) as concurrent lanes and commits them
+    in seed-priority order — the XLA engine's ``num_parallel_seeds`` rule
+    on the fused kernel. Up to ~Wx fewer sequential grow steps per room;
+    validate NMI when raising it (SURVEY.md §7 hard-part #1).
     """
     seg = FusedSegmenter(
         params, model_cfg, cfg, min_bucket_size=min_bucket_size,
         max_instances=max_instances, exact_median=exact_median,
         interpret=interpret, mesh=mesh, verbose=verbose,
         truncation_warnings=truncation_warnings, num_restarts=num_restarts,
-        scoring=scoring, beam_width=beam_width, search_width=search_width)
+        scoring=scoring, beam_width=beam_width, search_width=search_width,
+        num_parallel_seeds=num_parallel_seeds,
+        seed_separation=seed_separation)
     seg.submit({i: rf for i, rf in enumerate(rooms)})
     res = seg.collect()
     return [res[i] for i in range(len(rooms))]

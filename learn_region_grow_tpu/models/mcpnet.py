@@ -10,6 +10,7 @@ L2-normalized embedding trained with semihard triplet loss, Adam(1e-3).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -71,3 +72,72 @@ def loss_fn(params: Params, batch: Dict[str, jnp.ndarray]
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     emb = forward(params, batch["points"], batch["neighbors"])
     return triplet_semihard_loss(batch["labels"], emb), emb
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "radius", "chunk"))
+def _embed_room_program(params: Params, pts: jnp.ndarray,
+                        valid: jnp.ndarray, *, nsample: int,
+                        radius: float, chunk: int) -> jnp.ndarray:
+    """Whole-room embedding as ONE device program (round-3 verdict ask #4:
+    the host 50-NN + per-batch tunnel transfers made the C30 path 522 pts/s
+    end-to-end).
+
+    pts (P, 6) f32 (padded), valid (P,) bool -> (P, E) embeddings.
+
+    Neighbor selection is the reference's own CUDA ball-query semantics
+    (``tf_ops/grouping/tf_grouping_g.cu:3-36`` — first ``nsample`` points in
+    index order with clamped euclidean distance < radius, short balls
+    backfilled with the first hit) instead of the host stager's
+    random-50-of-27-voxel-candidates draw; the staging path keeps the exact
+    reference semantics (``data/mcp_staging.py::neighbor_sets``), this
+    inference path trades that draw for a single fused program. Queries scan
+    in ``chunk``-row blocks so the pairwise matrix never materializes beyond
+    (chunk, P).
+    """
+    p = pts.shape[0]
+    xyz = pts[:, :3]
+    iota = jnp.arange(p, dtype=jnp.int32)
+
+    def one_chunk(_, qi):
+        q = jax.lax.dynamic_slice(pts, (qi, 0), (chunk, 6))
+        d2 = jnp.sum((q[:, None, :3] - xyz[None, :, :]) ** 2, axis=-1)
+        d = jnp.maximum(jnp.sqrt(d2), 1e-20)
+        hit = (d < radius) & valid[None, :]
+        keys = jnp.where(hit, iota[None, :], jnp.int32(p))
+        sel = -jax.lax.top_k(-keys, nsample)[0]          # ascending
+        first = sel[:, :1]
+        has = first < p
+        idx = jnp.where(sel < p, sel, jnp.where(has, first, 0))
+        nbr = pts[idx] - q[:, None, :]                   # relative xyzrgb
+        return None, forward(params, q[:, 2:6], nbr)
+
+    _, embs = jax.lax.scan(one_chunk, None,
+                           jnp.arange(0, p, chunk, dtype=jnp.int32))
+    return embs.reshape(p, -1)
+
+
+def embed_room(params: Params, cfg: MCPNetConfig, points: jnp.ndarray,
+               radius: float = 0.45, chunk: int = 1024) -> jnp.ndarray:
+    """Per-point MCPNet embeddings for one room, fully on device.
+
+    points (N, 6) [xyz, rgb] -> (N, E) f32. Pads N to a power-of-two
+    bucket (one compile per bucket) and scans ``chunk`` queries at a time;
+    the (chunk, P) pairwise block bounds device memory, so rooms to
+    ~131k points are fine. ``radius`` defaults to 1.5 coarse-grid cells
+    (the host stager draws from the 27-cell neighborhood of a 0.3 grid).
+    """
+    import numpy as np
+
+    pts = np.asarray(points, np.float32)
+    n = len(pts)
+    p = max(1024, 1 << int(np.ceil(np.log2(max(n, 2)))))
+    chunk = min(chunk, p)
+    padded = np.zeros((p, 6), np.float32)
+    padded[:n] = pts
+    valid = np.zeros(p, bool)
+    valid[:n] = True
+    emb = _embed_room_program(params, jnp.asarray(padded),
+                              jnp.asarray(valid),
+                              nsample=cfg.num_neighbors,
+                              radius=float(radius), chunk=int(chunk))
+    return np.asarray(jax.device_get(emb))[:n]

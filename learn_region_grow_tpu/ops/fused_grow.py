@@ -263,8 +263,17 @@ def forward_confidences_t(w: List[jnp.ndarray], x_in: jnp.ndarray,
     softmax(logits)[:, 1] of ``models.lrgnet.forward`` (the tiled-global
     head is algebraically refactored into a matvec bias; same arithmetic
     result).
+
+    A 6-element ``w`` carries the optional completeness head
+    (``pack_lrgnet_weights(with_complete=True)``); the third return is then
+    cp (1, gb) — per-region sigmoid completeness, identical to
+    ``models.lrgnet.forward``'s ``complete`` output — else ``None``.
     """
-    (in_w, nb_w, add_h, rmv_h, biases) = w
+    cp_h = None
+    if len(w) == 6:
+        (in_w, nb_w, add_h, rmv_h, biases, cp_h) = w
+    else:
+        (in_w, nb_w, add_h, rmv_h, biases) = w
     k = x_in.shape[1] // gb
 
     def branch(ws, boff, x):
@@ -312,14 +321,31 @@ def forward_confidences_t(w: List[jnp.ndarray], x_in: jnp.ndarray,
 
     add_conf = head(add_h, 10, skip_nb)
     rmv_conf = head(rmv_h, 13, skip_in)
-    return add_conf, rmv_conf
+    if cp_h is None:
+        return add_conf, rmv_conf, None
+    # completeness head (models/lrgnet.py forward: [1024,256,64,1] MLP over
+    # the pooled global feature, sigmoid) — per-region (1, gb) matvecs;
+    # layer-0 split over the in/nb pooled halves like the add/rmv heads
+    wcp_in, wcp_nb, wcp1, wcp2, bias_cp = cp_h
+    h0 = jnp.maximum(
+        jnp.dot(wcp_in, pooled_in, preferred_element_type=jnp.float32)
+        + jnp.dot(wcp_nb, pooled_nb, preferred_element_type=jnp.float32)
+        + bias_cp[0:wcp_in.shape[0], 0:1], 0.0)
+    h1 = jnp.maximum(
+        jnp.dot(wcp1, h0, preferred_element_type=jnp.float32)
+        + bias_cp[0:wcp1.shape[0], 1:2], 0.0)
+    h2 = (jnp.dot(wcp2, h1, preferred_element_type=jnp.float32)
+          + bias_cp[0:wcp2.shape[0], 2:3])
+    cp = jax.nn.sigmoid(h2[0:1, :])
+    return add_conf, rmv_conf, cp
 
 
 # ---------------------------------------------------------------------------
 # Host-side packing
 # ---------------------------------------------------------------------------
 
-def pack_lrgnet_weights(params, feature_size: int) -> List[np.ndarray]:
+def pack_lrgnet_weights(params, feature_size: int,
+                        with_complete: bool = False) -> List[np.ndarray]:
     """LrgNet params -> flat list of transposed/padded/split f32 arrays.
 
     Order: in_W0..4, nb_W0..4, add_{Wg_in,Wg_nb,Ws,W1,W2},
@@ -327,6 +353,11 @@ def pack_lrgnet_weights(params, feature_size: int) -> List[np.ndarray]:
     Head layer-0 weights are split into global (inlier-pooled 0:512,
     neighbor-pooled 512:1024) and skip (1024:1088) row blocks of the
     reference's concat layout (``learn_region_grow_util.py:128-149``).
+
+    ``with_complete=True`` appends the completeness head's 5 arrays
+    (cp_{Wg_in,Wg_nb,W1,W2}, bias_cp (256, 8)) — required by the fused
+    kernel's 'cp' local-search scoring; ``params`` must contain
+    ``complete_head`` (``LrgNetConfig.completeness_head``).
     """
     out: List[np.ndarray] = []
     biases = np.zeros((512, 16), np.float32)
@@ -367,6 +398,23 @@ def pack_lrgnet_weights(params, feature_size: int) -> List[np.ndarray]:
     out.extend(head(params["add_head"], 10))
     out.extend(head(params["remove_head"], 13))
     out.append(biases)
+    if with_complete:
+        if "complete_head" not in params:
+            raise ValueError("with_complete=True needs a checkpoint trained "
+                             "with the completeness head (complete_head)")
+        layers = params["complete_head"]
+        w0 = np.asarray(layers[0]["w"], np.float32)            # (1024, 256)
+        half = w0.shape[0] // 2
+        bias_cp = np.zeros((256, 8), np.float32)
+        bias_cp[:256, 0] = np.asarray(layers[0]["b"], np.float32)
+        w1 = np.asarray(layers[1]["w"], np.float32).T.copy()   # (64, 256)
+        bias_cp[:64, 1] = np.asarray(layers[1]["b"], np.float32)
+        w2t = np.asarray(layers[2]["w"], np.float32).T         # (1, 64)
+        w2 = np.zeros((8, 64), np.float32)
+        w2[:1] = w2t
+        bias_cp[:1, 2] = np.asarray(layers[2]["b"], np.float32)
+        out.extend([w0[:half].T.copy(), w0[half:].T.copy(), w1, w2,
+                    bias_cp])
     return out
 
 
@@ -445,6 +493,9 @@ def _unpack_weight_refs(refs):
     add_h = [r[...] for r in refs[10:15]]
     rmv_h = [r[...] for r in refs[15:20]]
     biases = refs[20][...]
+    if len(refs) > 21:  # completeness head (5 extra arrays; 'cp' scoring)
+        cp_h = [r[...] for r in refs[21:26]]
+        return (in_w, nb_w, add_h, rmv_h, biases, cp_h)
     return (in_w, nb_w, add_h, rmv_h, biases)
 
 
@@ -487,6 +538,11 @@ class _LaneSt(NamedTuple):
     score: jnp.ndarray        # f32 — restart score at termination
     cnt: jnp.ndarray          # i32 — final mask size at termination
     reason: jnp.ndarray       # i32
+    cpv: jnp.ndarray          # f32 — latest completeness-head value ('cp')
+    # parallel-seeds mode only (each lane grows its OWN seed):
+    live: jnp.ndarray         # bool — this wave found a seed for the lane
+    tgt: jnp.ndarray          # i32 — GT obj id of the lane's seed
+    sidx: jnp.ndarray         # i32 — flat slot of the lane's seed
 
 
 class _ParentSt(NamedTuple):
@@ -524,8 +580,9 @@ _LS = np.int32(np.uint32(0xB5297A4D).astype(np.int64) - 2 ** 32)
 
 
 def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
-                 *refs, gb: int, lanes_per_room: int, scoring_ml: bool,
+                 *refs, gb: int, lanes_per_room: int, scoring: str,
                  beam_width: int, search_width: int,
+                 parallel_seeds: bool = False, seed_separation: int = 12,
                  k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
@@ -547,8 +604,9 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     ``lanes_per_room`` > 1 is the random-restart variant
     (``test_random_restart.py:169-197``): R attempts of each seed grow as
     parallel lanes over the same visited set; when all attempts of a room
-    terminate, the best by ``scoring_ml`` (cumulative decision log-prob)
-    or point count ('np') commits — argmax with first-tie, like the
+    terminate, the best by ``scoring`` ('ml' cumulative decision log-prob,
+    'np' point count, 'cp' completeness-head prediction) commits —
+    argmax with first-tie, like the
     reference — and every lane reseeds at the next curvature rank. The
     reference runs attempts serially with a SHARED step counter; parallel
     lanes give each attempt its own ``max_steps`` budget (documented
@@ -575,13 +633,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     in the same iteration; rooms out of candidates go inert (their lanes'
     pass rows are masked) until every room finishes.
     """
+    use_cp = scoring == "cp"
+    n_w = 26 if use_cp else 21  # 'cp' appends the completeness head's 5
+    w = _unpack_weight_refs(refs[0:n_w])
     (labels_ref, log_ref, counters_ref,
-     visited_s, tried_s, current_s, sel_s, ranks_s, enc_s, enc_all_s) = (
-        refs[21], refs[22], refs[23], refs[24], refs[25], refs[26],
-        refs[27], refs[28], refs[29], refs[30])
-    w = _unpack_weight_refs(refs[0:21])
+     visited_s, tried_s, current_s, sel_s, ranks_s, enc_s, enc_all_s) = \
+        refs[n_w:n_w + 10]
     beam = beam_width > 0
-    parent_s = refs[31] if beam else None
+    parent_s = refs[n_w + 10] if beam else None
+    scoring_ml = scoring == "ml"
     BW, SW = beam_width, search_width
 
     R = lanes_per_room
@@ -707,7 +767,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         lane's current, and resets the per-attempt lane states. In beam
         mode also resets the queue: Q = [(0, seed mask)]
         (``test_beam_search.py:162-166``) with the seed mask parked in
-        parent slot 0."""
+        parent slot 0. In parallel-seeds mode each lane gets its OWN seed:
+        the R lowest-rank candidates separated by >= ``seed_separation``
+        voxels (L-inf), the same wave rule as the XLA engine's
+        ``_pick_wave_seeds`` — a documented relaxation of the reference's
+        strictly sequential seed order (SURVEY.md §7 hard-part #1)."""
         def do(op):
             if beam:
                 s, lg, b_ = op
@@ -717,6 +781,42 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             vis = visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             trd = tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             cand = (rank_g < BIG) & ~vis & ~trd
+            zi = jnp.int32(0)
+            if parallel_seeds:
+                vx = vox_ref[g, 0:8, :]
+                vy = vox_ref[g, 8:16, :]
+                vz = vox_ref[g, 16:24, :]
+                trd2 = trd
+                lg2 = []
+                for r, l in enumerate(lg):
+                    seed_rank = jnp.min(jnp.where(cand, rank_g, BIG))
+                    found = seed_rank < BIG
+                    seed_mask = cand & (rank_g == seed_rank)
+                    trd2 = trd2 | seed_mask
+                    current_s[pl.ds((g * R + r) * 8, 8), pl.ds(0, p8)] = \
+                        seed_mask.astype(jnp.int32)
+                    sx = jnp.sum(jnp.where(seed_mask, vx, 0))
+                    sy = jnp.sum(jnp.where(seed_mask, vy, 0))
+                    sz = jnp.sum(jnp.where(seed_mask, vz, 0))
+                    # exclude this wave's neighborhood from later picks
+                    # (grown regions overlap less; _pick_wave_seeds rule)
+                    near = ((jnp.abs(vx - sx) <= seed_separation)
+                            & (jnp.abs(vy - sy) <= seed_separation)
+                            & (jnp.abs(vz - sz) <= seed_separation))
+                    cand = cand & ~seed_mask & (~near | ~found)
+                    lg2.append(l._replace(
+                        done=~found, steps=zi, stuck=zi,
+                        mnx=sx, mny=sy, mnz=sz, mxx=sx, mxy=sy, mxz=sz,
+                        smnx=sx, smny=sy, smnz=sz,
+                        smxx=sx, smxy=sy, smxz=sz,
+                        log_prob=jnp.float32(0.0), score=jnp.float32(0.0),
+                        cnt=zi, reason=zi, cpv=jnp.float32(0.0),
+                        live=found,
+                        tgt=jnp.sum(jnp.where(seed_mask, obj_ref[g], 0)),
+                        sidx=jnp.sum(jnp.where(seed_mask, glob_idx, 0))))
+                tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] = trd2.astype(
+                    jnp.int32)
+                return s._replace(need_seed=jnp.bool_(False)), tuple(lg2)
             seed_rank = jnp.min(jnp.where(cand, rank_g, BIG))
             seed_mask = cand & (rank_g == seed_rank)
             tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] = (trd | seed_mask).astype(jnp.int32)
@@ -726,13 +826,12 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             sx = jnp.sum(jnp.where(seed_mask, vox_ref[g, 0:8, :], 0))
             sy = jnp.sum(jnp.where(seed_mask, vox_ref[g, 8:16, :], 0))
             sz = jnp.sum(jnp.where(seed_mask, vox_ref[g, 16:24, :], 0))
-            zi = jnp.int32(0)
             lg2 = tuple(l._replace(
                 done=jnp.bool_(False), steps=zi, stuck=zi,
                 mnx=sx, mny=sy, mnz=sz, mxx=sx, mxy=sy, mxz=sz,
                 smnx=sx, smny=sy, smnz=sz, smxx=sx, smxy=sy, smxz=sz,
                 log_prob=jnp.float32(0.0), score=jnp.float32(0.0),
-                cnt=zi, reason=zi) for l in lg)
+                cnt=zi, reason=zi, cpv=jnp.float32(0.0)) for l in lg)
             s2 = s._replace(
                 need_seed=jnp.bool_(False),
                 target=jnp.sum(jnp.where(seed_mask, obj_ref[g], 0)),
@@ -1244,7 +1343,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                axis=1)
         x_nb = jnp.concatenate([g_nb[l] - offs[l] for l in range(lanes)],
                                axis=1)
-        add_conf, rmv_conf = forward_confidences_t(w, x_in, x_nb, gb=lanes)
+        add_conf, rmv_conf, cp_now = forward_confidences_t(
+            w, x_in, x_nb, gb=lanes)
 
         add_dec, rmv_dec = [], []
         for l, st in enumerate(lsts):
@@ -1374,8 +1474,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 # candidate = this lane's post-step mask; only expanding
                 # rollouts enter newQ (``test_beam_search.py:271-276``)
                 new_cnt_f = new_cnt.astype(jnp.float32)
-                score_cand = ((pscore[l] + step_lp[l]) if scoring_ml
-                              else new_cnt_f)
+                if use_cp:
+                    # beam 'cp': rank queue entries by this rollout's
+                    # predicted completeness (not cumulative — the head
+                    # scores the current state, reference evidence
+                    # experimental/train_region_grow_rnn.py:143-144)
+                    score_cand = cp_now[0, l]
+                else:
+                    score_cand = ((pscore[l] + step_lp[l]) if scoring_ml
+                                  else new_cnt_f)
                 cands.append(dict(
                     valid=active[l] & ~no_neighbor[l] & updated,
                     rolled=active[l] & ~no_neighbor[l],
@@ -1411,10 +1518,18 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                st.log_prob)
             cnt_final = jnp.where(nng, cur_cnt[l], new_cnt)
             # restart score frozen at termination: cumulative decision
-            # log-prob ('ml') or final mask size ('np'),
-            # test_random_restart.py:171-177
-            score_now = new_lp if scoring_ml else cnt_final.astype(
-                jnp.float32)
+            # log-prob ('ml'), final mask size ('np',
+            # test_random_restart.py:171-177), or the completeness head's
+            # latest prediction ('cp' — a no-neighbor final step keeps the
+            # previous step's value; its forward saw a garbage neighbor set)
+            new_cp = (jnp.where(stepped, cp_now[0, l], st.cpv)
+                      if use_cp else st.cpv)
+            if use_cp:
+                score_now = new_cp
+            elif scoring_ml:
+                score_now = new_lp
+            else:
+                score_now = cnt_final.astype(jnp.float32)
             out_lsts.append(st._replace(
                 done=st.done | done_now,
                 steps=jnp.where(stepped, new_steps, st.steps),
@@ -1432,7 +1547,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 ctr=jnp.where(active[l], st.ctr + 8, st.ctr),
                 score=jnp.where(done_now, score_now, st.score),
                 cnt=jnp.where(done_now, cnt_final, st.cnt),
-                reason=jnp.where(done_now, reason, st.reason)))
+                reason=jnp.where(done_now, reason, st.reason),
+                cpv=new_cp))
         if beam:
             return out_lsts, cands
         return out_lsts
@@ -1446,6 +1562,69 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         for r in range(1, R):
             all_done = all_done & lanes_g[r].done
         do_commit = all_done & ~rst.fully_done & ~rst.need_seed
+
+        def do_parallel(op):
+            """Parallel-seeds wave commit: lanes commit their OWN masks in
+            seed-priority order (lane 0 = lowest curvature rank). Earlier
+            commits win overlaps (mask &= ~visited); a lane whose seed was
+            swallowed by an earlier commit is discarded, as the reference's
+            visited check would have skipped that seed — the XLA engine's
+            wave-commit rule (engine/grow.py segment_rooms K>1)."""
+            s, lg = op
+            vis = visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
+            rank_g = rank_ref[g]
+            valid_g = rank_g < BIG
+            row_i = jax.lax.broadcasted_iota(jnp.int32,
+                                             (max_instances, 8), 0)
+            col_i = jax.lax.broadcasted_iota(jnp.int32,
+                                             (max_instances, 8), 1)
+            inst = s.inst
+            cid = s.cluster_id
+            labels = labels_ref[g]
+            for r in range(R):
+                st = lg[r]
+                cur = current_s[pl.ds((g * R + r) * 8, 8), pl.ds(0, p8)] > 0
+                seed_slot = valid_g & (glob_idx == st.sidx)
+                swallowed = jnp.sum(jnp.where(vis & seed_slot, 1, 0)) > 0
+                commit_r = st.live & ~swallowed
+                mask0 = cur & ~vis
+                # an attempt always commits at least its seed point
+                # (reference stop_growing marks visited regardless);
+                # boolean algebra, not where() — Mosaic rejects selects on
+                # i1 vectors (docs/pallas_grow_kernel_design.md)
+                grew = jnp.sum(jnp.where(mask0, 1, 0)) > 0
+                mask = (mask0 & grew) | (seed_slot & ~vis & ~grew)
+                mask = mask & commit_r
+                cnt = jnp.sum(jnp.where(mask, 1, 0))
+                vis = vis | mask
+                kept = commit_r & (cnt > cluster_threshold)
+                labels = jnp.where(mask & kept, cid, labels)
+                gt_cnt = jnp.sum(jnp.where(valid_g
+                                           & (obj_ref[g] == st.tgt), 1, 0))
+                fields = [st.sidx.astype(jnp.float32),
+                          st.tgt.astype(jnp.float32),
+                          st.steps.astype(jnp.float32),
+                          cnt.astype(jnp.float32),
+                          gt_cnt.astype(jnp.float32),
+                          st.reason.astype(jnp.float32),
+                          st.log_prob,
+                          kept.astype(jnp.float32)]
+                rec = jnp.zeros((max_instances, 8), jnp.float32)
+                for i, f in enumerate(fields):
+                    rec = rec + jnp.where(col_i == i, f, 0.0)
+                log_ref[g] = jnp.where((row_i == inst) & commit_r, rec,
+                                       log_ref[g])
+                inst = inst + commit_r.astype(jnp.int32)
+                cid = jnp.where(kept, cid + 1, cid)
+            labels_ref[g] = labels
+            visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] = vis.astype(jnp.int32)
+            trd = tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
+            remaining = jnp.sum(jnp.where(valid_g & ~vis & ~trd, 1, 0))
+            lg2 = tuple(l._replace(ctr=l.ctr + 8) for l in lg)
+            return s._replace(
+                inst=inst, cluster_id=cid, need_seed=jnp.bool_(True),
+                remaining=remaining,
+                fully_done=(remaining == 0) | (inst >= p)), lg2
 
         def do(op):
             s, lg = op
@@ -1512,7 +1691,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 remaining=remaining,
                 fully_done=(remaining == 0) | (inst2 >= p)), lg2
 
-        return jax.lax.cond(do_commit, do, lambda op: op, (rst, lanes_g))
+        return jax.lax.cond(do_commit, do_parallel if parallel_seeds else do,
+                            lambda op: op, (rst, lanes_g))
 
     # ---------------------------------------------------------------------
     # Beam phases (``test_beam_search.py:169-292``): Q[0] head check before
@@ -1685,7 +1865,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             mnx=zi, mny=zi, mnz=zi, mxx=zi, mxy=zi, mxz=zi,
             smnx=zi, smny=zi, smnz=zi, smxx=zi, smxy=zi, smxz=zi,
             log_prob=jnp.float32(0.0), ctr=zi, score=jnp.float32(0.0),
-            cnt=zi, reason=zi)
+            cnt=zi, reason=zi, cpv=jnp.float32(0.0),
+            live=jnp.bool_(True), tgt=zi, sidx=zi)
 
     def loop_cond(carry):
         rsts, _ = carry
@@ -1778,17 +1959,27 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
 def rooms_per_program_budget(p: int, feature_size: int,
                              lanes_per_room: int = 1,
-                             budget_bytes: int = 90 * 2 ** 20) -> int:
+                             budget_bytes: int = 90 * 2 ** 20,
+                             pipelined: bool = False) -> int:
     """How many P-point rooms fit one program's VMEM (capped at 8).
 
-    Per-room bytes/point: feat 4*FP, vox 12, rank 4, obj 4, labels 4,
+    Per-room WINDOW bytes/point (pallas input/output blocks): feat 4*FP,
+    vox 12, rank 4, obj 4, labels 4; per-room SCRATCH bytes/point:
     visited+tried 8, recenter encodings 4*n_rec; per LANE bytes/point:
     current+selection+ranks 12, sample keys 8. The 90 MB budget leaves the
     126 MB scoped-vmem limit room for the replicated weights (~3.3 MB) and
-    the stacked slab temporaries."""
+    the stacked slab temporaries.
+
+    ``pipelined=True`` budgets for a MULTI-STEP grid: Mosaic
+    double-buffers every window whose index map depends on program_id
+    (inputs AND outputs), so window bytes count twice. A single-step grid
+    (rooms <= this budget) keeps the larger single-buffered capacity —
+    callers should prefer it and only fall back to the pipelined figure
+    when one launch must span several programs (engine ``_launch``)."""
     n_rec = 2 + (feature_size - 6)
-    per_room = ((4 * feat_rows(feature_size) + 12 + 4 + 4 + 4 + 8
-                 + 4 * n_rec) + 20 * lanes_per_room) * p
+    window = 4 * feat_rows(feature_size) + 12 + 4 + 4 + 4
+    scratch = 8 + 4 * n_rec + 20 * lanes_per_room
+    per_room = ((2 if pipelined else 1) * window + scratch) * p
     return int(max(1, min(8, budget_bytes // per_room)))
 
 
@@ -1797,8 +1988,10 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
                       cluster_threshold: int, max_instances: int,
                       exact_median: bool, n_weights: int,
                       interpret: bool = False, rooms_per_program: int = 1,
-                      lanes_per_room: int = 1, scoring_ml: bool = True,
-                      beam_width: int = 0, search_width: int = 0):
+                      lanes_per_room: int = 1, scoring: str = "ml",
+                      beam_width: int = 0, search_width: int = 0,
+                      parallel_seeds: bool = False,
+                      seed_separation: int = 12):
     """dp-sharded fused segmentation over the room axis: each device runs
     the multi-room kernel on its local rooms (no collectives; weights
     replicated). Callers pad the room count to a multiple of
@@ -1814,8 +2007,10 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
             cluster_threshold=cluster_threshold,
             max_instances=max_instances, exact_median=exact_median,
             interpret=interpret, rooms_per_program=rooms_per_program,
-            lanes_per_room=lanes_per_room, scoring_ml=scoring_ml,
-            beam_width=beam_width, search_width=search_width)
+            lanes_per_room=lanes_per_room, scoring=scoring,
+            beam_width=beam_width, search_width=search_width,
+            parallel_seeds=parallel_seeds,
+            seed_separation=seed_separation)
 
     shard = PS(DP_AXIS)
     rep = PS()
@@ -1837,23 +2032,27 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
                            kw.get("interpret", False),
                            kw.get("rooms_per_program", 1),
                            kw.get("lanes_per_room", 1),
-                           kw.get("scoring_ml", True),
+                           kw.get("scoring", "ml"),
                            kw.get("beam_width", 0),
-                           kw.get("search_width", 0))
+                           kw.get("search_width", 0),
+                           kw.get("parallel_seeds", False),
+                           kw.get("seed_separation", 12))
     return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
     "exact_median", "interpret", "rooms_per_program", "lanes_per_room",
-    "scoring_ml", "beam_width", "search_width"))
+    "scoring", "beam_width", "search_width", "parallel_seeds",
+    "seed_separation"))
 def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
                      exact_median: bool = True, interpret: bool = False,
                      rooms_per_program: int = 1, lanes_per_room: int = 1,
-                     scoring_ml: bool = True, beam_width: int = 0,
-                     search_width: int = 0):
+                     scoring: str = "ml", beam_width: int = 0,
+                     search_width: int = 0, parallel_seeds: bool = False,
+                     seed_separation: int = 12):
     """Segment G rooms fully on device, ``rooms_per_program`` concurrently
     per grid step with ``lanes_per_room`` restart attempts each (reproduces
     rooms_per_program=1 up to float-ULP forward differences; see
@@ -1898,12 +2097,26 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                 f"beam mode needs lanes_per_room == beam_width * "
                 f"search_width ({beam_width}*{search_width}), got "
                 f"{lanes_per_room}")
+    if parallel_seeds:
+        if beam_width > 0:
+            raise ValueError("parallel seeds and beam mode are exclusive")
+        if lanes_per_room < 2:
+            raise ValueError("parallel_seeds needs lanes_per_room (the "
+                             "wave width W) >= 2")
+    if scoring not in ("ml", "np", "cp"):
+        raise ValueError(f"unknown scoring {scoring!r}")
+    if scoring == "cp" and len(weights) != 26:
+        raise ValueError(
+            "'cp' scoring needs the completeness-head weights: pack with "
+            "pack_lrgnet_weights(with_complete=True) (26 arrays, got "
+            f"{len(weights)})")
     lanes = gb * lanes_per_room
 
     kernel = functools.partial(
         _grow_kernel, gb=gb, lanes_per_room=lanes_per_room,
-        scoring_ml=scoring_ml, beam_width=beam_width,
-        search_width=search_width, k=k, feature_size=feature_size,
+        scoring=scoring, beam_width=beam_width,
+        search_width=search_width, parallel_seeds=parallel_seeds,
+        seed_separation=seed_separation, k=k, feature_size=feature_size,
         max_steps=max_steps, cluster_threshold=cluster_threshold,
         max_instances=max_instances, chunk=chunk, exact_median=exact_median)
 

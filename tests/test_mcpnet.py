@@ -126,3 +126,40 @@ def test_voxel_adjacency_and_components():
     # min cluster size filters
     labels2 = connected_component_labels(6, src, dst, min_cluster_size=5)
     assert (labels2 == 0).all()
+
+
+def test_embed_room_matches_ball_query_oracle():
+    """The fused whole-room device embedding (``mcpnet.embed_room``)
+    reproduces a NumPy oracle of its stated semantics: first-50-by-index
+    neighbors within clamped euclidean radius (the reference ball-query
+    contract, tf_grouping_g.cu:3-36), short balls backfilled with the
+    first hit, then the standard MCP forward."""
+    cfg = mcpnet.MCPNetConfig(num_neighbors=8)
+    params = mcpnet.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(11)
+    n, radius = 300, 0.45
+    pts = np.hstack([rng.rand(n, 3) * np.array([2.0, 2.0, 1.0]),
+                     rng.rand(n, 3)]).astype(np.float32)
+
+    got = mcpnet.embed_room(params, cfg, pts, radius=radius, chunk=256)
+    assert got.shape == (n, cfg.embedding_size)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, rtol=1e-4)
+
+    # oracle neighbor selection + host forward
+    d = np.maximum(np.sqrt(((pts[:, None, :3] - pts[None, :, :3]) ** 2)
+                           .sum(-1)), 1e-20)
+    nbr = np.zeros((n, cfg.num_neighbors, 6), np.float32)
+    for i in range(n):
+        hits = np.nonzero(d[i] < radius)[0][:cfg.num_neighbors]
+        sel = np.zeros(cfg.num_neighbors, np.int64)
+        if len(hits):
+            sel[:] = hits[0]
+            sel[:len(hits)] = hits
+        nbr[i] = pts[sel] - pts[i]
+    want = np.asarray(mcpnet.forward(params, jnp.asarray(pts[:, 2:6]),
+                                     jnp.asarray(nbr)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # deterministic
+    again = mcpnet.embed_room(params, cfg, pts, radius=radius, chunk=256)
+    np.testing.assert_array_equal(got, again)

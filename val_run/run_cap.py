@@ -56,6 +56,9 @@ def main():
             break
         w *= np.sqrt(P * 0.75 / eq)
     eq, raw = len(rf.points), len(room)
+    # calibration must land in (P/2, P]: eq > P would silently rely on
+    # downstream truncation; eq <= P/2 measures the wrong bucket
+    assert P // 2 < eq <= P, f"calibration failed: eq={eq} not in ({P//2}, {P}]"
     print(f"room: eq {eq}, raw {raw}", flush=True)
 
     gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,

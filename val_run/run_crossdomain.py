@@ -159,5 +159,6 @@ if STAGE in ("all", "outdoor"):
               "--data-dir", DATA, "--models-dir", MODELS, "--no-mesh"])
     capture(os.path.join(RESULTS_OUT, "resolution03_lrgnet.txt"),
             lambda: tst.main(["--area", "8", "--resolution", "0.3",
-                              "--data-dir", DATA, "--models-dir", MODELS]))
+                              "--data-dir", DATA, "--models-dir", MODELS]
+                             + FUSED))
     print("outdoor done %.1fs" % (time.time() - t0), flush=True)

@@ -55,6 +55,9 @@ def main():
             break
         w *= np.sqrt(P * 0.75 / eq)
     eq = len(rf.points)
+    # calibration must land in (P/2, P] (see ADVICE r3): eq > P would rely
+    # on downstream truncation, eq <= P/2 measures the wrong bucket
+    assert P // 2 < eq <= P, f"calibration failed: eq={eq} not in ({P//2}, {P}]"
     print(f"room: eq {eq} (bucket P={P})", flush=True)
 
     gcfg = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,
@@ -67,8 +70,15 @@ def main():
         f"# room eq={eq}, bucket P={P}, checkpoint="
         "models/synthetic_pretrained.npz",
     ]
+    from learn_region_grow_tpu.ops.fused_grow import rooms_per_program_budget
+    gb_max = rooms_per_program_budget(P, 13)
+    lines.append(f"# single-program VMEM budget caps rooms/program at "
+                 f"{gb_max} for this P; larger G would split into several "
+                 f"programs (no further amortization to measure)")
     base = None
     for g in (1, 2, 4, 8):
+        if g > gb_max:
+            break
         feats = [rf] * g
         run = lambda: segment_rooms_fused(params, mcfg, feats, gcfg,
                                           min_bucket_size=P,
@@ -87,9 +97,10 @@ def main():
                 "steps/room=%d" % (g, t, per_room, base / per_room, steps))
         print(line, flush=True)
         lines.append(line)
-    with open(os.path.join(RESULTS, "multiroom_sweep.txt"), "w") as f:
+    # append: the record accumulates one section per bucket size P
+    with open(os.path.join(RESULTS, "multiroom_sweep.txt"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote results/multiroom_sweep.txt", flush=True)
+    print("appended to results/multiroom_sweep.txt", flush=True)
 
 
 if __name__ == "__main__":

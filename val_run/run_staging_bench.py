@@ -27,34 +27,47 @@ from learn_region_grow_tpu.data.simulator import stage_rooms
 from learn_region_grow_tpu.data.synthetic import generate_furnished_rooms
 
 
-def bench_one(n_rooms: int, scale: float):
+def bench_one(n_rooms: int, scale: float, repeats: int = 3):
+    """Median-of-``repeats`` per side: host timings of IDENTICAL work vary
+    up to 3x between sessions on this shared 1-core box (round-3 verdict
+    ask #8 — a single-shot comparison cannot support a speedup claim)."""
     raws = generate_furnished_rooms(n_rooms, seed=42, scale=scale)
     rooms = [r[:, :6] for r in raws]
     objs = [r[:, 6].astype(np.int32) for r in raws]
     clss = [r[:, 7].astype(np.int32) for r in raws]
     total_pts = sum(len(r) for r in rooms)
 
-    t0 = time.time()
-    host = stage_rooms(rooms, objs, clss, seed=0)
-    t_host = time.time() - t0
+    t_hosts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        host = stage_rooms(rooms, objs, clss, seed=0)
+        t_hosts.append(time.time() - t0)
+    t_host = float(np.median(t_hosts))
 
     # warm the compile, then time (fixed shapes -> one compile per bucket)
     stage_rooms_device(rooms, objs, clss, seed=0, samples_cap=4096,
                        instances_cap=1024)
-    t0 = time.time()
-    dev = stage_rooms_device(rooms, objs, clss, seed=0, samples_cap=4096,
-                             instances_cap=1024)
-    t_dev = time.time() - t0
+    t_devs = []
+    for _ in range(repeats):
+        t0 = time.time()
+        dev = stage_rooms_device(rooms, objs, clss, seed=0,
+                                 samples_cap=4096, instances_cap=1024)
+        t_devs.append(time.time() - t0)
+    t_dev = float(np.median(t_devs))
+
+    def spread(ts):
+        return "med %.2fs of [%s]" % (float(np.median(ts)),
+                                      " ".join("%.2f" % t for t in ts))
 
     return [
         "# staging throughput: %d furnished rooms (scale %.1f), %d raw pts"
         % (n_rooms, scale, total_pts),
-        "host   %7.2fs  %6d samples  %8.0f samples/s  %8.0f raw pts/s"
+        "host   %7.2fs  %6d samples  %8.0f samples/s  %8.0f raw pts/s  (%s)"
         % (t_host, host.num_samples(), host.num_samples() / t_host,
-           total_pts / t_host),
-        "device %7.2fs  %6d samples  %8.0f samples/s  %8.0f raw pts/s"
+           total_pts / t_host, spread(t_hosts)),
+        "device %7.2fs  %6d samples  %8.0f samples/s  %8.0f raw pts/s  (%s)"
         % (t_dev, dev.num_samples(), dev.num_samples() / t_dev,
-           total_pts / t_dev),
+           total_pts / t_dev, spread(t_devs)),
         "speedup %.2fx  (device samples within %.0f%% of host: "
         "distribution-equivalent PRNG)"
         % (t_host / t_dev,
