@@ -36,7 +36,7 @@ def build_embedding_features(raw_points: np.ndarray, obj_id: np.ndarray,
     """One room -> RoomFeatures with 19-d [xyz, rgb, normals, embedding].
 
     ``device=True`` computes the embeddings with ``mcpnet.embed_room`` —
-    ball-query 50-NN + the MCP forward as ONE jitted program per room
+    strided-ball 50-NN + the MCP forward as ONE jitted program per room
     (single host->device transfer) instead of the host stager's 27-voxel
     random draw + per-4096-batch dispatch. The host path is the exact
     staging semantics; the device path is the fast inference pathway

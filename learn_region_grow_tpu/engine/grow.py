@@ -831,7 +831,7 @@ class FusedSegmenter:
                  truncation_warnings: bool = True, num_restarts: int = 1,
                  scoring: str = "ml", beam_width: int = 0,
                  search_width: int = 0, num_parallel_seeds: int = 1,
-                 seed_separation: int = 12):
+                 seed_separation: int = 12, hbm_features=None):
         from ..ops import fused_grow as _fg
 
         if model_cfg.lite is not None:
@@ -888,6 +888,7 @@ class FusedSegmenter:
         self.beam_width = beam_width
         self.search_width = search_width
         self.num_restarts = num_restarts
+        self.hbm_features = hbm_features
         self.scoring = scoring
         self.weights = [jnp.asarray(a) for a in
                         _fg.pack_lrgnet_weights(params, cfg.feature_size,
@@ -902,16 +903,21 @@ class FusedSegmenter:
             psize, self.cfg.feature_size, self.num_restarts) * self.dp
 
     def submit(self, rooms: Dict[int, RoomFeatures]) -> None:
-        """Pack ``rooms`` (id -> features) and dispatch their programs."""
+        """Pack ``rooms`` (id -> features) and dispatch their programs.
+
+        Rooms past the VMEM cap (``MAX_FUSED_POINTS``) automatically run
+        the HBM-resident-features kernel variant up to
+        ``MAX_HBM_FUSED_POINTS`` (1M padded points): the feature block
+        leaves VMEM and gathers DMA slab-major chunks on demand."""
         _fg = self._fg
         buckets: Dict[int, List[int]] = {}
         for i, rf in rooms.items():
             psize = _bucket_size(len(rf.points), self.min_bucket_size)
-            if psize > _fg.MAX_FUSED_POINTS:
+            if psize > _fg.MAX_HBM_FUSED_POINTS:
                 raise ValueError(
                     f"room {i}: {len(rf.points)} points exceeds the fused "
-                    f"kernel's {_fg.MAX_FUSED_POINTS}-point VMEM budget; "
-                    f"use segment_rooms")
+                    f"kernel's {_fg.MAX_HBM_FUSED_POINTS}-point "
+                    f"HBM-features budget; use segment_rooms")
             buckets.setdefault(psize, []).append(i)
         for psize, room_ids in _split_program_batches(buckets, self.dp):
             self._launch(psize, room_ids, rooms)
@@ -924,9 +930,14 @@ class FusedSegmenter:
         # rooms per program: as many rooms as fit one program's VMEM grow
         # CONCURRENTLY (the merged multi-room kernel); pad the room count
         # so each device's grid divides evenly (inert tail rooms)
+        # features leave VMEM past the VMEM cap; self.hbm_features=True
+        # forces the DMA variant at any size (tests/benchmarks)
+        hbm = (psize > _fg.MAX_FUSED_POINTS if self.hbm_features is None
+               else self.hbm_features)
         per_dev = -(-g // self.dp)  # never pad beyond per-device rooms
         gb = min(_fg.rooms_per_program_budget(psize, cfg.feature_size,
-                                              self.num_restarts), per_dev)
+                                              self.num_restarts,
+                                              hbm_features=hbm), per_dev)
         if per_dev > gb:
             # the grid will span several programs: Mosaic double-buffers
             # every program-indexed window, so the per-program room count
@@ -934,7 +945,8 @@ class FusedSegmenter:
             # 8-room launch at P=131072 compiled 139.9/128 MB VMEM)
             gb = _fg.rooms_per_program_budget(psize, cfg.feature_size,
                                               self.num_restarts,
-                                              pipelined=True)
+                                              pipelined=True,
+                                              hbm_features=hbm)
         gp = -(-g // (gb * self.dp)) * (gb * self.dp)
         n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
         # only the live feature rows ever leave the host (the kernel
@@ -971,7 +983,8 @@ class FusedSegmenter:
                   beam_width=self.beam_width,
                   search_width=self.search_width,
                   parallel_seeds=self.parallel_seeds,
-                  seed_separation=self.seed_separation)
+                  seed_separation=self.seed_separation,
+                  hbm_features=hbm)
         t0 = time.time()
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
@@ -1064,7 +1077,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         beam_width: int = 0,
                         search_width: int = 0,
                         num_parallel_seeds: int = 1,
-                        seed_separation: int = 12) -> List[RoomResult]:
+                        seed_separation: int = 12,
+                        hbm_features=None) -> List[RoomResult]:
     """Segment rooms with the fused multi-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
     seed pick in curvature order, grow-to-termination, visited/cluster
@@ -1117,7 +1131,7 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         truncation_warnings=truncation_warnings, num_restarts=num_restarts,
         scoring=scoring, beam_width=beam_width, search_width=search_width,
         num_parallel_seeds=num_parallel_seeds,
-        seed_separation=seed_separation)
+        seed_separation=seed_separation, hbm_features=hbm_features)
     seg.submit({i: rf for i, rf in enumerate(rooms)})
     res = seg.collect()
     return [res[i] for i in range(len(rooms))]

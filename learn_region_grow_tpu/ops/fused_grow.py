@@ -69,6 +69,11 @@ _C2 = np.int32(np.uint32(0xC2B2AE35).astype(np.int64) - 2 ** 32)
 _CG = np.int32(np.uint32(0x9E3779B1).astype(np.int64) - 2 ** 32)
 
 MAX_FUSED_POINTS = 524288
+# with HBM-resident features (``hbm_features``) the 4*FP-byte/point feature
+# window leaves VMEM entirely (gathers DMA slab-major chunks on demand), so
+# the cap doubles; the remaining VMEM scalers (vox 12, masks/ranks 32,
+# encodings 4*n_rec, keys 8 bytes/point) land ~88 MB at this size
+MAX_HBM_FUSED_POINTS = 1048576
 
 
 def fused_chunk(p8: int) -> int:
@@ -583,6 +588,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                  *refs, gb: int, lanes_per_room: int, scoring: str,
                  beam_width: int, search_width: int,
                  parallel_seeds: bool = False, seed_separation: int = 12,
+                 hbm_features: bool = False,
                  k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
@@ -640,13 +646,24 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
      visited_s, tried_s, current_s, sel_s, ranks_s, enc_s, enc_all_s) = \
         refs[n_w:n_w + 10]
     beam = beam_width > 0
-    parent_s = refs[n_w + 10] if beam else None
+    extra = n_w + 10
+    parent_s = None
+    if beam:
+        parent_s = refs[extra]
+        extra += 1
+    feat_stage = feat_sem = None
+    if hbm_features:
+        # features live in HBM as slab-major (G, n_chunks, FP, 8*chunk);
+        # gathers DMA one slab at a time into this VMEM stage
+        feat_stage, feat_sem = refs[extra], refs[extra + 1]
+        extra += 2
     scoring_ml = scoring == "ml"
     BW, SW = beam_width, search_width
 
     R = lanes_per_room
     lanes = gb * R
-    FP = feat_ref.shape[1]        # padded feature rows (feat_rows)
+    # padded feature rows (feat_rows); hbm layout is (G, n_chunks, FP, 8c)
+    FP = feat_ref.shape[2] if hbm_features else feat_ref.shape[1]
     p8 = rank_ref.shape[2]
     p = 8 * p8
     n_chunks = p8 // chunk
@@ -684,16 +701,50 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     labels_ref[...] = jnp.zeros((gb, 8, p8), jnp.int32)
     log_ref[...] = jnp.zeros((gb, max_instances, 8), jnp.float32)
 
+    def read_feat_slab(rm, cc):
+        """Chunk cc of room rm as a (FP, 8*chunk) slab — sublane r's
+        columns land at [r*chunk, (r+1)*chunk) (the one-hot gather layout).
+        VMEM mode slices the resident window; HBM mode DMAs the slab-major
+        chunk into the stage buffer (start+wait — the following MXU dot is
+        the same order of latency, so the simple form costs ~the matmul)."""
+        if hbm_features:
+            dma = pltpu.make_async_copy(feat_ref.at[base + rm, cc],
+                                        feat_stage, feat_sem)
+            dma.start()
+            dma.wait()
+            return feat_stage[...]
+        lo = cc * chunk
+        return jnp.concatenate(
+            [feat_ref[rm, :, pl.ds(r * p8 + lo, chunk)] for r in range(8)],
+            axis=1)
+
     if exact_median:
         # enc_s rows (g*n_rec + fi)*8 + r = sortable encoding of room g's
         # feature rec_rows[fi], sublane r — built once per program (shared
         # by all of the room's lanes, each masking with its own current)
-        for g in range(gb):
-            for fi, fr in enumerate(rec_rows):
-                enc_row = sortable_encode(feat_ref[g, fr:fr + 1, :])
-                for r in range(8):
-                    row = (g * n_rec + fi) * 8 + r
-                    enc_s[row:row + 1, :] = enc_row[:, r * p8:(r + 1) * p8]
+        if hbm_features:
+            # one sequential DMA sweep per room; encode each slab's rec
+            # rows into the (rows, p8) layout chunk by chunk
+            for g in range(gb):
+                def enc_body(cc, _, g=g):
+                    slab = read_feat_slab(g, cc)
+                    lo = cc * chunk
+                    for fi, fr in enumerate(rec_rows):
+                        enc_row = sortable_encode(slab[fr:fr + 1, :])
+                        for r in range(8):
+                            row = (g * n_rec + fi) * 8 + r
+                            enc_s[row:row + 1, pl.ds(lo, chunk)] = \
+                                enc_row[:, r * chunk:(r + 1) * chunk]
+                    return 0
+                jax.lax.fori_loop(0, n_chunks, enc_body, 0)
+        else:
+            for g in range(gb):
+                for fi, fr in enumerate(rec_rows):
+                    enc_row = sortable_encode(feat_ref[g, fr:fr + 1, :])
+                    for r in range(8):
+                        row = (g * n_rec + fi) * 8 + r
+                        enc_s[row:row + 1, :] = \
+                            enc_row[:, r * p8:(r + 1) * p8]
 
     def block_pool(n_groups):
         """(G, G*8) block-sum matrix pool[i, j] = (j // 8 == i), built from
@@ -1145,6 +1196,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                     cc = cmin[l] + jnp.minimum(i, clen[l] - 1)
                     pred = (active[l] & (i < clen[l])
                             & chunk_intersects(rm, cc, bs[l]))
+                    if hbm_features:
+                        # DMA hoisted out of the cond (effects must not be
+                        # branch-local); a skipped lane fetches a clamped
+                        # valid chunk whose data goes unused
+                        feat_slab_h = read_feat_slab(rm, cc)
 
                     def slab(c, l=l, rm=rm, cc=cc):
                         gathered, idx_col = c
@@ -1155,9 +1211,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                         flat_ss = ss.reshape(1, 8 * chunk)
                         hit = (targets[l] == flat_rr) & (flat_ss > 0)
                         onehot = hit.astype(jnp.float32)
-                        feat_slab = jnp.concatenate(
-                            [feat_ref[rm, :, pl.ds(r * p8 + lo, chunk)]
-                             for r in range(8)], axis=1)  # (16, 8*chunk)
+                        feat_slab = (feat_slab_h if hbm_features
+                                     else read_feat_slab(rm, cc))
                         glob_row = jnp.concatenate(
                             [r * p8 + lo + chunk_iota for r in range(8)],
                             axis=1)
@@ -1960,7 +2015,8 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 def rooms_per_program_budget(p: int, feature_size: int,
                              lanes_per_room: int = 1,
                              budget_bytes: int = 90 * 2 ** 20,
-                             pipelined: bool = False) -> int:
+                             pipelined: bool = False,
+                             hbm_features: bool = False) -> int:
     """How many P-point rooms fit one program's VMEM (capped at 8).
 
     Per-room WINDOW bytes/point (pallas input/output blocks): feat 4*FP,
@@ -1977,7 +2033,9 @@ def rooms_per_program_budget(p: int, feature_size: int,
     callers should prefer it and only fall back to the pipelined figure
     when one launch must span several programs (engine ``_launch``)."""
     n_rec = 2 + (feature_size - 6)
-    window = 4 * feat_rows(feature_size) + 12 + 4 + 4 + 4
+    window = 12 + 4 + 4 + 4
+    if not hbm_features:
+        window += 4 * feat_rows(feature_size)  # else features stay in HBM
     scratch = 8 + 4 * n_rec + 20 * lanes_per_room
     per_room = ((2 if pipelined else 1) * window + scratch) * p
     return int(max(1, min(8, budget_bytes // per_room)))
@@ -1991,7 +2049,8 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
                       lanes_per_room: int = 1, scoring: str = "ml",
                       beam_width: int = 0, search_width: int = 0,
                       parallel_seeds: bool = False,
-                      seed_separation: int = 12):
+                      seed_separation: int = 12,
+                      hbm_features: bool = False):
     """dp-sharded fused segmentation over the room axis: each device runs
     the multi-room kernel on its local rooms (no collectives; weights
     replicated). Callers pad the room count to a multiple of
@@ -2010,7 +2069,7 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
             lanes_per_room=lanes_per_room, scoring=scoring,
             beam_width=beam_width, search_width=search_width,
             parallel_seeds=parallel_seeds,
-            seed_separation=seed_separation)
+            seed_separation=seed_separation, hbm_features=hbm_features)
 
     shard = PS(DP_AXIS)
     rep = PS()
@@ -2036,7 +2095,8 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
                            kw.get("beam_width", 0),
                            kw.get("search_width", 0),
                            kw.get("parallel_seeds", False),
-                           kw.get("seed_separation", 12))
+                           kw.get("seed_separation", 12),
+                           kw.get("hbm_features", False))
     return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
@@ -2044,7 +2104,7 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
     "exact_median", "interpret", "rooms_per_program", "lanes_per_room",
     "scoring", "beam_width", "search_width", "parallel_seeds",
-    "seed_separation"))
+    "seed_separation", "hbm_features"))
 def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
@@ -2052,7 +2112,8 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      rooms_per_program: int = 1, lanes_per_room: int = 1,
                      scoring: str = "ml", beam_width: int = 0,
                      search_width: int = 0, parallel_seeds: bool = False,
-                     seed_separation: int = 12):
+                     seed_separation: int = 12,
+                     hbm_features: bool = False):
     """Segment G rooms fully on device, ``rooms_per_program`` concurrently
     per grid step with ``lanes_per_room`` restart attempts each (reproduces
     rooms_per_program=1 up to float-ULP forward differences; see
@@ -2111,12 +2172,21 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             "pack_lrgnet_weights(with_complete=True) (26 arrays, got "
             f"{len(weights)})")
     lanes = gb * lanes_per_room
+    n_chunks_h = p8 // chunk
+    if hbm_features:
+        # slab-major relayout for on-demand DMA: chunk cc of room g becomes
+        # the contiguous (FP, 8*chunk) block feat[g, cc] whose sublane r
+        # occupies columns [r*chunk, (r+1)*chunk) — one DMA per gather slab
+        feat = feat.reshape(g_rooms, fp, 8, n_chunks_h, chunk) \
+                   .transpose(0, 3, 1, 2, 4) \
+                   .reshape(g_rooms, n_chunks_h, fp, 8 * chunk)
 
     kernel = functools.partial(
         _grow_kernel, gb=gb, lanes_per_room=lanes_per_room,
         scoring=scoring, beam_width=beam_width,
         search_width=search_width, parallel_seeds=parallel_seeds,
-        seed_separation=seed_separation, k=k, feature_size=feature_size,
+        seed_separation=seed_separation, hbm_features=hbm_features,
+        k=k, feature_size=feature_size,
         max_steps=max_steps, cluster_threshold=cluster_threshold,
         max_instances=max_instances, chunk=chunk, exact_median=exact_median)
 
@@ -2142,8 +2212,11 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             # whole (G, 1) seed table in SMEM, indexed by program_id (a
             # blocked (1, 1) SMEM spec violates the tiling constraint)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((gb, fp, p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # features: VMEM-resident window, or (hbm mode) the whole
+            # slab-major array left in HBM and DMA'd per gather chunk
+            (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_features else
+             pl.BlockSpec((gb, fp, p), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((gb, 24, p8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, 8, p8), lambda i: (i, 0, 0),
@@ -2174,7 +2247,11 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             # beam parent masks (Q entries' pristine masks; rollout lanes
             # copy from here each round)
             pltpu.VMEM((gb * beam_width * 8, p8), jnp.int32),
-        ] if beam_width > 0 else []),
+        ] if beam_width > 0 else []) + ([
+            # hbm mode: per-gather DMA stage for one feature slab + its sem
+            pltpu.VMEM((fp, 8 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] if hbm_features else []),
         # the default 16 MB scoped-vmem budget is ~30 KB short at P=16384
         # (weights 3.2 MB + room 1.5 MB + slab temporaries); v5e has
         # 128 MB of VMEM and the batched buckets are sized to ~90 MB of it

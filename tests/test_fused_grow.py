@@ -375,6 +375,7 @@ def test_kernel_lowers_for_tpu_target():
                     scoring="cp"),
                dict(rooms_per_program=1, lanes_per_room=3,
                     parallel_seeds=True),
+               dict(rooms_per_program=1, hbm_features=True),
                dict(rooms_per_program=1, lanes_per_room=4, beam_width=2,
                     search_width=2)):
         wl = w_cp if kw.get("scoring") == "cp" else w
@@ -407,3 +408,24 @@ def test_split_program_batches_bounds_and_covers():
     # a 100-room 524288 bucket cannot land in one program at dp=1
     big = _split_program_batches({524288: list(range(100))}, 1)
     assert all(len(c) <= 4 for _, c in big) and len(big) == 25
+
+
+def test_hbm_features_bit_identical(tiny_rooms, trained):
+    """HBM-resident features (``hbm_features=True`` — the >524k-point
+    variant: the feature block leaves VMEM, gathers DMA slab-major chunks)
+    are BIT-IDENTICAL to the VMEM-resident kernel: only the storage of the
+    gather operands changes, every computed value is the same."""
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+
+    res_v = segment_rooms_fused(params, mcfg, [rf], gcfg,
+                                max_instances=64, interpret=True)[0]
+    res_h = segment_rooms_fused(params, mcfg, [rf], gcfg,
+                                max_instances=64, interpret=True,
+                                hbm_features=True)[0]
+    np.testing.assert_array_equal(res_v.cluster_label, res_h.cluster_label)
+    assert res_v.num_clusters == res_h.num_clusters
+    for a, b in zip(res_v.instances, res_h.instances):
+        assert a == b, (a, b)

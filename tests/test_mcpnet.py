@@ -130,10 +130,11 @@ def test_voxel_adjacency_and_components():
 
 def test_embed_room_matches_ball_query_oracle():
     """The fused whole-room device embedding (``mcpnet.embed_room``)
-    reproduces a NumPy oracle of its stated semantics: first-50-by-index
-    neighbors within clamped euclidean radius (the reference ball-query
-    contract, tf_grouping_g.cu:3-36), short balls backfilled with the
-    first hit, then the standard MCP forward."""
+    reproduces a NumPy oracle of its stated semantics: an evenly-strided
+    ``nsample`` sample of the query's euclidean-radius ball taken in
+    x-scan order (the TPU-shaped replacement for the reference ball
+    query's arbitrary first-k-in-array-order, tf_grouping_g.cu:3-36),
+    then the standard MCP forward."""
     cfg = mcpnet.MCPNetConfig(num_neighbors=8)
     params = mcpnet.init_params(jax.random.PRNGKey(3), cfg)
     rng = np.random.RandomState(11)
@@ -146,16 +147,16 @@ def test_embed_room_matches_ball_query_oracle():
     np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, rtol=1e-4)
 
     # oracle neighbor selection + host forward
-    d = np.maximum(np.sqrt(((pts[:, None, :3] - pts[None, :, :3]) ** 2)
-                           .sum(-1)), 1e-20)
-    nbr = np.zeros((n, cfg.num_neighbors, 6), np.float32)
-    for i in range(n):
-        hits = np.nonzero(d[i] < radius)[0][:cfg.num_neighbors]
-        sel = np.zeros(cfg.num_neighbors, np.int64)
-        if len(hits):
-            sel[:] = hits[0]
-            sel[:len(hits)] = hits
-        nbr[i] = pts[sel] - pts[i]
+    order = np.argsort(pts[:, 0], kind="stable")
+    xs = pts[order]
+    d2 = ((xs[:, None, :3] - xs[None, :, :3]) ** 2).sum(-1)
+    k = cfg.num_neighbors
+    nbr = np.zeros((n, k, 6), np.float32)
+    for qi in range(n):
+        hits = np.nonzero(d2[qi] < radius * radius)[0]   # x-scan order
+        assert len(hits) > 0                             # self-hit
+        sel = hits[(np.arange(k) * len(hits)) // k]
+        nbr[order[qi]] = xs[sel] - xs[qi]
     want = np.asarray(mcpnet.forward(params, jnp.asarray(pts[:, 2:6]),
                                      jnp.asarray(nbr)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -37,7 +37,7 @@ P = 524288
 
 
 def main():
-    params, meta, _ = load_checkpoint(
+    params, _, meta = load_checkpoint(
         os.path.join(os.path.dirname(BASE), "models",
                      "synthetic_pretrained.npz"))
     mcfg = lrgnet.LrgNetConfig(feature_size=13)

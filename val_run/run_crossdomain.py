@@ -94,6 +94,21 @@ if STAGE in ("all", "cd"):
                              "--data-dir", DATA, "--models-dir", MODELS]))
     print("cross-domain fwd done %.1fs" % (time.time() - t0), flush=True)
 
+if STAGE == "cd-eval":
+    # ---- eval-only regeneration (round-3 verdict ask #5): the committed
+    # furnished05->box12 record ran the slow lane engine (431s grow); rerun
+    # both target-domain captures on the fused path with the EXISTING
+    # lrgnet_1.npz checkpoint (no retrain) ---------------------------------
+    capture(os.path.join(RESULTS_CD, "furnished05_to_box12_lrgnet.txt"),
+            lambda: tst.main(["--area", "9", "--cross-domain",
+                              "--train-area", "1",
+                              "--data-dir", DATA, "--models-dir", MODELS]
+                             + FUSED))
+    capture(os.path.join(RESULTS_CD, "box12_smoothness.txt"),
+            lambda: bm.main(["--mode", "smoothness", "--area", "9",
+                             "--data-dir", DATA, "--models-dir", MODELS]))
+    print("cross-domain eval done %.1fs" % (time.time() - t0), flush=True)
+
 if STAGE in ("all", "reverse"):
     # ---- box(1.2) -> furnished(0.5): the REVERSE direction --------------
     src = generate_rooms(8, seed=31, scale=1.2)

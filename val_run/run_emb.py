@@ -61,7 +61,10 @@ if STAGE in ("all", "eval"):
     sys.stdout = Tee(old, log)
     import jax
     fused = ["--fused"] if jax.default_backend() == "tpu" else []
-    tre.main(["--area", "5", "--mcp-model", MCP_MODEL,
+    # --device-embed: whole-room 50-NN + MCP forward as one jitted program
+    # (round-3 verdict ask #4 — host embedding prep was 99.7% of the
+    # record's wall time at 522 pts/s end-to-end)
+    tre.main(["--area", "5", "--mcp-model", MCP_MODEL, "--device-embed",
               "--data-dir", DATA, "--models-dir", MODELS] + fused)
     sys.stdout = old
     with open(os.path.join(RESULTS, "area5_emb.txt"), "w") as f:

@@ -1,4 +1,4 @@
-"""Real-scene-scale validation: throughput/memory at P = 16k .. 131k.
+"""Real-scene-scale validation: throughput/memory at P = 16k .. 1M.
 
 Reference rooms are 50-100k+ equalized points (``test_region_grow.py``
 over full S3DIS areas; BASELINE.json config #4 is ScanNet-scale). This run
@@ -11,7 +11,9 @@ BOTH engines at every size:
 * ``wave``  — the batched XLA lane engine with the relaxed speedups
   (Pallas stratified sampling, 4 parallel seeds, adaptive tail),
 * ``fused`` — the whole-room Pallas kernel, exact reference semantics
-  (chunked scatter keeps per-step VMEM P-independent; cap 262144).
+  (chunked scatter keeps per-step VMEM P-independent; VMEM-resident
+  features to P=524288, HBM-resident features to P=1048576 — the wave
+  engine stops at its validated 262144 regime).
 
 Records the points/sec + NMI + device-memory curve to
 ``results/scale_curve.txt``.
@@ -90,7 +92,7 @@ def main():
     lines = ["# scale curve: padded bucket P, engine, rooms, equalized pts,"
              " raw pts, grow secs, pts/sec, NMI, device MB"]
     configs = [(16384, 2), (32768, 2), (65536, 2), (131072, 1),
-               (262144, 1)]
+               (262144, 1), (524288, 1), (1048576, 1)]
     if quick:
         configs = configs[:2]
     rng = np.random.RandomState(100)
@@ -107,13 +109,22 @@ def main():
               f"raw {raw}, feature {t_feat:.1f}s", flush=True)
 
         runs = {}
-        gcfg_w = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,
-                            pallas_sampling=True, track_accuracy=False)
-        runs["wave"] = lambda: segment_rooms(
-            params, mcfg, feats, gcfg_w, min_bucket_size=target_p,
-            num_parallel_seeds=4, tail_seeds=16)
-        gcfg_f = GrowConfig(num_inlier=512, num_neighbor=512, max_steps=500,
-                            pallas_sampling=False, track_accuracy=False)
+        # 1M-eq-point rooms carry ~400k-point floor planes: ~820 add steps
+        # at 512 neighbors/step (the 500 cap would truncate them)
+        max_steps = 1000 if target_p > 524288 else 500
+        gcfg_w = GrowConfig(num_inlier=512, num_neighbor=512,
+                            max_steps=max_steps, pallas_sampling=True,
+                            track_accuracy=False)
+        if target_p <= 262144:
+            # the lane engine's validated regime; beyond it the fused
+            # kernel (VMEM to 524288, HBM-resident features to 1048576)
+            # is the only sensible path
+            runs["wave"] = lambda: segment_rooms(
+                params, mcfg, feats, gcfg_w, min_bucket_size=target_p,
+                num_parallel_seeds=4, tail_seeds=16)
+        gcfg_f = GrowConfig(num_inlier=512, num_neighbor=512,
+                            max_steps=max_steps, pallas_sampling=False,
+                            track_accuracy=False)
         runs["fused"] = lambda: segment_rooms_fused(
             params, mcfg, feats, gcfg_f, min_bucket_size=target_p,
             max_instances=1024)
