@@ -889,6 +889,12 @@ class FusedSegmenter:
         self.search_width = search_width
         self.num_restarts = num_restarts
         self.hbm_features = hbm_features
+        # cfg.pallas_sampling means the same thing on the fused kernel as
+        # on the wave engine: stratified rank sampling (one jittered draw
+        # per stratum) instead of exact uniform without-replacement — the
+        # fast path that skips the kernel's 33-pass threshold bisection
+        # (pair with exact_median=False for full effect)
+        self.stratified = bool(cfg.pallas_sampling)
         self.scoring = scoring
         self.weights = [jnp.asarray(a) for a in
                         _fg.pack_lrgnet_weights(params, cfg.feature_size,
@@ -984,7 +990,7 @@ class FusedSegmenter:
                   search_width=self.search_width,
                   parallel_seeds=self.parallel_seeds,
                   seed_separation=self.seed_separation,
-                  hbm_features=hbm)
+                  hbm_features=hbm, stratified=self.stratified)
         t0 = time.time()
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(

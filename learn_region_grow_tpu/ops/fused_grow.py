@@ -244,6 +244,31 @@ def sample_targets(cnt: jnp.ndarray, k: int, fill_u: jnp.ndarray
     return jnp.where(j < jnp.minimum(cnt, k), j + 1, fill)
 
 
+def sample_targets_stratified(cnt: jnp.ndarray, k: int,
+                              u: jnp.ndarray) -> jnp.ndarray:
+    """Target ranks (k, 1) for the STRATIFIED fast path.
+
+    cnt > k: slot j draws rank floor((j + u_j) * cnt / k) + 1 — one jittered
+    pick per stratum of the masked set in global index order, the SAME
+    validated semantics as the wave engine's Pallas sampler
+    (``ops/masked_select.stratified_ranks``). Marginal inclusion probability
+    is k/cnt like uniform without-replacement; the joint distribution is
+    stratified instead (a documented relaxation — the bisection threshold
+    machinery this replaces is the dominant sequential chain of the exact
+    kernel's step). cnt <= k: identical to ``sample_targets`` (reference
+    natural-order prefix + with-replacement fill).
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    cntf = jnp.maximum(cnt, 1).astype(jnp.float32)
+    strat = jnp.floor((j.astype(jnp.float32) + u) * cntf
+                      / jnp.float32(k)).astype(jnp.int32) + 1
+    strat = jnp.clip(strat, 1, jnp.maximum(cnt, 1))
+    fill = jnp.floor(u * cntf).astype(jnp.int32) + 1
+    fill = jnp.clip(fill, 1, jnp.maximum(cnt, 1))
+    seq = jnp.where(j < jnp.minimum(cnt, k), j + 1, fill)
+    return jnp.where(cnt > k, strat, seq)
+
+
 def select_mask(keys: jnp.ndarray, mask: jnp.ndarray, cnt: jnp.ndarray,
                 k: int) -> jnp.ndarray:
     """Uniform k-subset of ``mask`` when cnt >= k (threshold at the k-th
@@ -588,7 +613,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                  *refs, gb: int, lanes_per_room: int, scoring: str,
                  beam_width: int, search_width: int,
                  parallel_seeds: bool = False, seed_separation: int = 12,
-                 hbm_features: bool = False,
+                 hbm_features: bool = False, stratified: bool = False,
                  k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
@@ -1080,15 +1105,29 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                  jnp.full((lanes * g_all, 1), 2 ** 31 - 2, jnp.int32)))
             return out
 
-        kth = jax.lax.cond(
-            all_small,
-            lambda _: jnp.full((lanes * g_all, 1), IMAX - 1, jnp.int32),
-            _run_bis, 0)
-        # cnt <= k selects the whole mask: IMAX-1 admits every non-sentinel
-        thr_in = [jnp.where(cur_cnt[l] <= k, IMAX - 1, kth[l * g_all, 0])
-                  for l in range(lanes)]
-        thr_nb = [jnp.where(nb_cnt[l] <= k, IMAX - 1, kth[l * g_all + 1, 0])
-                  for l in range(lanes)]
+        if stratified and not exact_median:
+            # STRATIFIED fast path: selection is the whole mask (targets
+            # stride the mask prefix ranks, ``sample_targets_stratified``)
+            # and medians come from the sampled block — the 33-pass slab
+            # bisection (the dominant sequential chain of a big-region
+            # step) is statically dead
+            kth = jnp.full((lanes * g_all, 1), IMAX - 1, jnp.int32)
+        else:
+            kth = jax.lax.cond(
+                all_small,
+                lambda _: jnp.full((lanes * g_all, 1), IMAX - 1, jnp.int32),
+                _run_bis, 0)
+        if stratified:
+            thr_in = [jnp.int32(IMAX - 1)] * lanes
+            thr_nb = [jnp.int32(IMAX - 1)] * lanes
+        else:
+            # cnt <= k selects the whole mask: IMAX-1 admits every
+            # non-sentinel
+            thr_in = [jnp.where(cur_cnt[l] <= k, IMAX - 1,
+                                kth[l * g_all, 0]) for l in range(lanes)]
+            thr_nb = [jnp.where(nb_cnt[l] <= k, IMAX - 1,
+                                kth[l * g_all + 1, 0])
+                      for l in range(lanes)]
 
         # --- selection masks + prefix ranks, range slabs only -------------
         row_id = jax.lax.broadcasted_iota(jnp.int32,
@@ -1239,8 +1278,10 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
         def sample_and_gather(row_off, thrs, cnts_, fill_off, bs):
             build_sel_ranks(row_off, thrs)
+            mk_targets = (sample_targets_stratified if stratified
+                          else sample_targets)
             targets = [
-                sample_targets(
+                mk_targets(
                     cnts_[l], k,
                     uniform01(hash_keys(
                         kcol, streams[l] + lsts[l].ctr + fill_off)))
@@ -2050,7 +2091,8 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
                       beam_width: int = 0, search_width: int = 0,
                       parallel_seeds: bool = False,
                       seed_separation: int = 12,
-                      hbm_features: bool = False):
+                      hbm_features: bool = False,
+                      stratified: bool = False):
     """dp-sharded fused segmentation over the room axis: each device runs
     the multi-room kernel on its local rooms (no collectives; weights
     replicated). Callers pad the room count to a multiple of
@@ -2069,7 +2111,8 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
             lanes_per_room=lanes_per_room, scoring=scoring,
             beam_width=beam_width, search_width=search_width,
             parallel_seeds=parallel_seeds,
-            seed_separation=seed_separation, hbm_features=hbm_features)
+            seed_separation=seed_separation, hbm_features=hbm_features,
+            stratified=stratified)
 
     shard = PS(DP_AXIS)
     rep = PS()
@@ -2096,7 +2139,8 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
                            kw.get("search_width", 0),
                            kw.get("parallel_seeds", False),
                            kw.get("seed_separation", 12),
-                           kw.get("hbm_features", False))
+                           kw.get("hbm_features", False),
+                           kw.get("stratified", False))
     return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
@@ -2104,7 +2148,7 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
     "exact_median", "interpret", "rooms_per_program", "lanes_per_room",
     "scoring", "beam_width", "search_width", "parallel_seeds",
-    "seed_separation", "hbm_features"))
+    "seed_separation", "hbm_features", "stratified"))
 def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
@@ -2113,7 +2157,8 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      scoring: str = "ml", beam_width: int = 0,
                      search_width: int = 0, parallel_seeds: bool = False,
                      seed_separation: int = 12,
-                     hbm_features: bool = False):
+                     hbm_features: bool = False,
+                     stratified: bool = False):
     """Segment G rooms fully on device, ``rooms_per_program`` concurrently
     per grid step with ``lanes_per_room`` restart attempts each (reproduces
     rooms_per_program=1 up to float-ULP forward differences; see
@@ -2186,7 +2231,7 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
         scoring=scoring, beam_width=beam_width,
         search_width=search_width, parallel_seeds=parallel_seeds,
         seed_separation=seed_separation, hbm_features=hbm_features,
-        k=k, feature_size=feature_size,
+        stratified=stratified, k=k, feature_size=feature_size,
         max_steps=max_steps, cluster_threshold=cluster_threshold,
         max_instances=max_instances, chunk=chunk, exact_median=exact_median)
 

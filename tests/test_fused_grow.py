@@ -376,6 +376,8 @@ def test_kernel_lowers_for_tpu_target():
                dict(rooms_per_program=1, lanes_per_room=3,
                     parallel_seeds=True),
                dict(rooms_per_program=1, hbm_features=True),
+               dict(rooms_per_program=2, stratified=True,
+                    exact_median=False),
                dict(rooms_per_program=1, lanes_per_room=4, beam_width=2,
                     search_width=2)):
         wl = w_cp if kw.get("scoring") == "cp" else w
@@ -429,3 +431,74 @@ def test_hbm_features_bit_identical(tiny_rooms, trained):
     assert res_v.num_clusters == res_h.num_clusters
     for a, b in zip(res_v.instances, res_h.instances):
         assert a == b, (a, b)
+
+
+def test_stratified_targets_match_wave_semantics():
+    """``sample_targets_stratified`` reproduces the wave engine's validated
+    stratified-rank formula (``ops/masked_select.stratified_ranks``) when
+    cnt > k, and the reference natural-order-prefix + fill semantics
+    (``sample_targets``) when cnt <= k."""
+    from learn_region_grow_tpu.ops.masked_select import stratified_ranks
+
+    rng = np.random.RandomState(9)
+    k = 16
+    u = jnp.asarray(rng.rand(k, 1), jnp.float32)
+    for cnt in (17, 100, 5000):
+        got = np.asarray(fg.sample_targets_stratified(
+            jnp.int32(cnt), k, u)).reshape(-1)
+        want = np.asarray(stratified_ranks(u.reshape(-1), jnp.int32(cnt), k))
+        np.testing.assert_array_equal(got, want)
+        assert ((got >= 1) & (got <= cnt)).all()
+    for cnt in (1, 5, 16):
+        got = np.asarray(fg.sample_targets_stratified(
+            jnp.int32(cnt), k, u)).reshape(-1)
+        want = np.asarray(fg.sample_targets(jnp.int32(cnt), k, u)
+                          ).reshape(-1)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_stratified_small_sets_bit_identical():
+    """When every step's candidate sets fit k, the stratified fast path is
+    BIT-IDENTICAL to the exact kernel: both select the whole mask
+    (threshold IMAX-1) and draw the same natural-order targets — the
+    relaxation only exists where cnt > k."""
+    from learn_region_grow_tpu.data.synthetic import generate_rooms
+
+    room = generate_rooms(1, seed=1, scale=0.22)[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    k = 768  # > room size: cnt <= k at every step, cur AND nb
+    assert len(rf.points) < k
+    cfg = lrgnet.LrgNetConfig(feature_size=13)
+    params = lrgnet.init_params(jax.random.PRNGKey(2), cfg)
+    gcfg_e = GrowConfig(num_inlier=k, num_neighbor=k, max_steps=60)
+    gcfg_s = GrowConfig(num_inlier=k, num_neighbor=k, max_steps=60,
+                        pallas_sampling=True)  # -> stratified fused path
+    res_e = segment_rooms_fused(params, cfg, [rf], gcfg_e,
+                                max_instances=64, interpret=True)[0]
+    res_s = segment_rooms_fused(params, cfg, [rf], gcfg_s,
+                                max_instances=64, interpret=True)[0]
+    np.testing.assert_array_equal(res_e.cluster_label, res_s.cluster_label)
+    assert res_e.num_clusters == res_s.num_clusters
+    for a, b in zip(res_e.instances, res_s.instances):
+        assert a == b, (a, b)
+
+
+def test_stratified_relaxed_quality(tiny_rooms, trained):
+    """The stratified + sampled-median fast path (pallas_sampling=True,
+    exact_median=False — the mode that skips the kernel's 33-pass slab
+    bisection entirely) still segments the trained tiny room well: NMI
+    within 0.15 of the exact kernel's."""
+    params, mcfg = trained
+    room = tiny_rooms[0]
+    rf = prepare_room(room[:, :6], room[:, 6], room[:, 7], resolution=0.1)
+    gcfg_e = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+    gcfg_s = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120,
+                        pallas_sampling=True)
+    res_e = segment_rooms_fused(params, mcfg, [rf], gcfg_e,
+                                max_instances=64, interpret=True)[0]
+    res_s = segment_rooms_fused(params, mcfg, [rf], gcfg_s,
+                                max_instances=64, interpret=True,
+                                exact_median=False)[0]
+    nmi_e = room_metrics(rf.obj_id, res_e.cluster_label)[0].nmi
+    nmi_s = room_metrics(rf.obj_id, res_s.cluster_label)[0].nmi
+    assert nmi_s > nmi_e - 0.15, (nmi_s, nmi_e)
