@@ -63,18 +63,33 @@ def run_area(area: str, args, mcp_params, mcp_cfg) -> list:
         area_rooms_path(args.data_dir, area))
     keep = load_sampled_filter(args.data_dir, area)
 
-    feats, kept_ids = [], []
+    def build_all():
+        feats, kept_ids = [], []
+        rng = np.random.RandomState(args.seed)
+        for rid in range(len(rooms)):
+            if not keep(rid):
+                continue
+            feats.append(build_embedding_features(
+                rooms[rid], obj_ids[rid], cls_ids[rid], mcp_params,
+                mcp_cfg, resolution=args.resolution, rng=rng,
+                device=args.device_embed))
+            kept_ids.append(rid)
+        return feats, kept_ids
+
     t_feature = time.time()
-    rng = np.random.RandomState(args.seed)
-    for rid in range(len(rooms)):
-        if not keep(rid):
-            continue
-        feats.append(build_embedding_features(
-            rooms[rid], obj_ids[rid], cls_ids[rid], mcp_params, mcp_cfg,
-            resolution=args.resolution, rng=rng,
-            device=args.device_embed))
-        kept_ids.append(rid)
+    feats, kept_ids = build_all()
     t_feature = time.time() - t_feature
+    if args.device_embed and args.warmup:
+        # the remote-compile worker's first touch of the embed program is
+        # minutes when its server-side cache is cold (the LOCAL persistent
+        # cache hit does not skip it); report cold/warm like the grow
+        # phase so the record reflects steady-state throughput
+        t_warm = time.time()
+        feats, kept_ids = build_all()
+        t_warm = time.time() - t_warm
+        print(f"feature cold (compile+run) {t_feature:.2f}s, "
+              f"warm {t_warm:.2f}s")
+        t_feature = t_warm
 
     gcfg = GrowConfig(num_inlier=args.num_inlier,
                       num_neighbor=args.num_neighbor,

@@ -116,12 +116,20 @@ def _embed_room_program(params: Params, pts_xs: jnp.ndarray,
         hit = (d2 < r2) & cval[None, :]
         rank = jnp.cumsum(hit.astype(jnp.int32), axis=1)
         nhits = rank[:, -1:]                             # >= 1 (self-hit)
-        cols = []
-        for s in range(nsample):
+
+        # scan (not a Python unroll) over the nsample strided picks: the
+        # axon remote-compile worker's program-preparation time scales
+        # badly with graph size — 50 unrolled compare+matmul pairs made
+        # THIS tiny program slower to prepare than the 2,000-line grow
+        # kernel (90-600 s observed); the rolled form prepares in seconds
+        def one_pick(_, s):
             tgt = (s * nhits) // nsample + 1             # strided ranks
             oh = (hit & (rank == tgt)).astype(jnp.float32)
-            cols.append(oh @ cand)                       # (chunk, 6)
-        nbr = jnp.stack(cols, axis=1) - q[:, None, :]    # relative xyzrgb
+            return None, oh @ cand                       # (chunk, 6)
+
+        _, cols = jax.lax.scan(one_pick, None,
+                               jnp.arange(nsample, dtype=jnp.int32))
+        nbr = jnp.moveaxis(cols, 0, 1) - q[:, None, :]   # relative xyzrgb
         return None, forward(params, q[:, 2:6], nbr)
 
     _, embs = jax.lax.scan(one_chunk, None,
@@ -130,7 +138,10 @@ def _embed_room_program(params: Params, pts_xs: jnp.ndarray,
 
 
 def embed_room(params: Params, cfg: MCPNetConfig, points: jnp.ndarray,
-               radius: float = 0.45, chunk: int = 1024) -> jnp.ndarray:
+               radius: float = 0.45, chunk: int = 512) -> jnp.ndarray:
+    # chunk=512 (not 1024): the candidate window is the chunk's x-span
+    # plus 2*radius of dilation, so halving the chunk nearly halves the
+    # dominant per-query compare work (p * window * nsample) in dense rooms
     """Per-point MCPNet embeddings for one room, fully on device.
 
     points (N, 6) [xyz, rgb] -> (N, E) f32. Sorts by x, pads N to a

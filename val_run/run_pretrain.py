@@ -58,6 +58,11 @@ AREA4_TARGETS = (40960, 57344, 81920, 110592, 143360, 188416,
 # close it with near-cap rooms in their own area (area 4's staged shards
 # stay valid)
 AREA6_TARGETS = (360448, 409600)
+# round 4: the 524k-cap record (results/fused_cap.txt) sits at 0.845 NMI
+# with clusters fragmenting on the two ~176k-point floor/ceiling planes;
+# add MORE near-cap rooms (diversity, not just reach — the cap room's
+# 395k eq is already inside the area-6 range) right up to the VMEM cap
+AREA7_TARGETS = (458752, 499712)
 
 
 def make_large_room(target_eq: int, rng):
@@ -118,15 +123,19 @@ def stage_area6():
     stage_large_area("6", AREA6_TARGETS, rng_seed=600)
 
 
+def stage_area7():
+    stage_large_area("7", AREA7_TARGETS, rng_seed=700)
+
+
 def train():
     from learn_region_grow_tpu.train.checkpoint import save_checkpoint
     from learn_region_grow_tpu.train.trainer import TrainConfig, fit
 
     cfg = TrainConfig(batch_size=100, max_epoch=24, multiseed=4,
                       data_dir=DATA, models_dir=os.path.join(BASE, "models"))
-    params, summary = fit(cfg, ["1", "2", "3", "4", "6"])
+    params, summary = fit(cfg, ["1", "2", "3", "4", "6", "7"])
     out = os.path.join(REPO, "models", "synthetic_pretrained.npz")
-    targets = AREA4_TARGETS + AREA6_TARGETS
+    targets = AREA4_TARGETS + AREA6_TARGETS + AREA7_TARGETS
     trained_on = (
         "synthetic mixed-scale: 3x8 box rooms scale=0.6 + %d large "
         "furnished rooms eq %dk-%dk (device-staged), multiseed%d" % (
@@ -145,5 +154,6 @@ if __name__ == "__main__":
     if STAGE in ("all", "data"):
         stage_area4()
         stage_area6()
+        stage_area7()
     if STAGE in ("all", "train"):
         train()
