@@ -105,7 +105,7 @@ def main():
     lines += [
         line,
         "# 2x the VMEM kernel's 524,288-point cap "
-        "(results/fused_cap.txt); the training mix tops out at ~410k-point",
+        "(results/fused_cap.txt); the training mix tops out at ~500k-point",
         "# rooms, so NMI at this scale reads through that gap — "
         "results/scale_ceiling.txt establishes the mechanics ceiling.",
     ]
