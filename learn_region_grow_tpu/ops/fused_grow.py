@@ -614,6 +614,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                  beam_width: int, search_width: int,
                  parallel_seeds: bool = False, seed_separation: int = 12,
                  hbm_features: bool = False, stratified: bool = False,
+                 shared_window: bool = False,
                  k: int, feature_size: int, max_steps: int,
                  cluster_threshold: int, max_instances: int, chunk: int,
                  exact_median: bool):
@@ -689,7 +690,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     lanes = gb * R
     # padded feature rows (feat_rows); hbm layout is (G, n_chunks, FP, 8c)
     FP = feat_ref.shape[2] if hbm_features else feat_ref.shape[1]
-    p8 = rank_ref.shape[2]
+    p8 = rank_ref.shape[1]
     p = 8 * p8
     n_chunks = p8 // chunk
     # Bounded PER-STEP passes iterate wider slabs than the gather/scatter
@@ -811,7 +812,80 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         return rec
 
     chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    # flat-slab global-index base: column j of a gather slab at chunk
+    # offset lo is point (j // chunk) * p8 + lo + (j % chunk)
+    _c8i = jax.lax.broadcasted_iota(jnp.int32, (1, 8 * chunk), 1)
+    gbase8 = (_c8i // chunk) * p8 + (_c8i % chunk)
+
+    def spread_exact(v, mat):
+        """Exact int32 row spread ``mat @ v`` (mat 0/1 with one 1 per row)
+        via 16-bit halves at HIGHEST precision (as spread_groups)."""
+        up = lambda x: jnp.dot(mat, x.astype(jnp.float32),
+                               preferred_element_type=jnp.float32,
+                               precision=hp).astype(jnp.int32)
+        return up(v >> 16) * 65536 + up(v & 0xFFFF)
+
+    if shared_window:
+        # SHARED-WINDOW mode constants (R == 1, no beam): every bounded
+        # per-step pass iterates ONE union slab range with full-height
+        # stacked reads/writes — one dynamic column offset per iteration
+        # instead of one per lane. The per-lane masks become data-driven
+        # (a point outside a lane's bbox fails the voxel compares; a
+        # selected point never exists outside the lane's own window), so
+        # the results are bit-identical to the per-lane-window passes
+        # (docs/pallas_grow_kernel_design.md, round-4 shared-offset
+        # redesign: the per-lane dynamic-offset ops were ~80 us/lane/step
+        # of issue overhead at ~2-3 us per op regardless of width).
+        # enc_all rows are re-grouped [all-inlier | all-neighbor] so each
+        # sample group reads as one contiguous block.
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, (lanes * 8, sw), 0)
+        gbase_t = ((rows_t % 8) * p8
+                   + jax.lax.broadcasted_iota(jnp.int32, (lanes * 8, sw), 1))
+        # bisection compare columns: enc_all row i (keys) belongs to lane
+        # i//8 group 0 (inlier) or 1 (neighbor); rec row i to lane
+        # i//(n_rec*8) group 2 + (i//8) % n_rec
+        _ri = jax.lax.broadcasted_iota(jnp.int32,
+                                       (lanes * 16, lanes * g_all), 0)
+        _ci = jax.lax.broadcasted_iota(jnp.int32,
+                                       (lanes * 16, lanes * g_all), 1)
+        _lane = jnp.where(_ri < lanes * 8, _ri // 8,
+                          (_ri - lanes * 8) // 8)
+        _grp = jnp.where(_ri < lanes * 8, 0, 1)
+        sp_keys = (_ci == _lane * g_all + _grp).astype(jnp.float32)
+        n_bis_rows = lanes * 16
+        sp_rec = rep_rec = None
+        if exact_median:
+            _rr = jax.lax.broadcasted_iota(
+                jnp.int32, (lanes * n_rec * 8, lanes * g_all), 0)
+            _rc = jax.lax.broadcasted_iota(
+                jnp.int32, (lanes * n_rec * 8, lanes * g_all), 1)
+            sp_rec = (_rc == (_rr // (n_rec * 8)) * g_all + 2
+                      + (_rr // 8) % n_rec).astype(jnp.float32)
+            # current-mask replication lane rows -> rec rows (0/1 f32
+            # matmul; > 0.5 recovers the bool exactly)
+            _qr = jax.lax.broadcasted_iota(
+                jnp.int32, (lanes * n_rec * 8, lanes * 8), 0)
+            _qc = jax.lax.broadcasted_iota(
+                jnp.int32, (lanes * n_rec * 8, lanes * 8), 1)
+            rep_rec = (_qc == (_qr // (n_rec * 8)) * 8 + _qr % 8).astype(
+                jnp.float32)
+            n_bis_rows += lanes * n_rec * 8
+        # count pooling back to (lane, group) rows: inlier block, neighbor
+        # block, then rec blocks
+        _pr = jax.lax.broadcasted_iota(jnp.int32,
+                                       (lanes * g_all, n_bis_rows), 0)
+        _pc = jax.lax.broadcasted_iota(jnp.int32,
+                                       (lanes * g_all, n_bis_rows), 1)
+        _src_lane = jnp.where(_pc < lanes * 8, _pc // 8,
+                              jnp.where(_pc < lanes * 16,
+                                        (_pc - lanes * 8) // 8,
+                                        (_pc - lanes * 16) // (n_rec * 8)))
+        _src_grp = jnp.where(_pc < lanes * 8, 0,
+                             jnp.where(_pc < lanes * 16, 1,
+                                       2 + ((_pc - lanes * 16) // 8)
+                                       % max(n_rec, 1)))
+        pool_shared = (_pr == _src_lane * g_all + _src_grp).astype(
+            jnp.float32)
 
     def read_rows_dyn(ref, row, candidates):
         """ref[row:row+8, :] where ``row`` is traced but ranges over the
@@ -853,15 +927,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 s, lg, b_ = op
             else:
                 s, lg = op
-            rank_g = rank_ref[g]
+            rank_g = rank_ref[pl.ds(g * 8, 8), :]
             vis = visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             trd = tried_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
             cand = (rank_g < BIG) & ~vis & ~trd
             zi = jnp.int32(0)
             if parallel_seeds:
-                vx = vox_ref[g, 0:8, :]
-                vy = vox_ref[g, 8:16, :]
-                vz = vox_ref[g, 16:24, :]
+                vx = vox_ref[0, pl.ds(g * 8, 8), :]
+                vy = vox_ref[1, pl.ds(g * 8, 8), :]
+                vz = vox_ref[2, pl.ds(g * 8, 8), :]
                 trd2 = trd
                 lg2 = []
                 for r, l in enumerate(lg):
@@ -899,9 +973,12 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             sm32 = seed_mask.astype(jnp.int32)
             for r in range(R):
                 current_s[pl.ds((g * R + r) * 8, 8), pl.ds(0, p8)] = sm32
-            sx = jnp.sum(jnp.where(seed_mask, vox_ref[g, 0:8, :], 0))
-            sy = jnp.sum(jnp.where(seed_mask, vox_ref[g, 8:16, :], 0))
-            sz = jnp.sum(jnp.where(seed_mask, vox_ref[g, 16:24, :], 0))
+            sx = jnp.sum(jnp.where(seed_mask, vox_ref[0, pl.ds(g * 8, 8), :],
+                                   0))
+            sy = jnp.sum(jnp.where(seed_mask, vox_ref[1, pl.ds(g * 8, 8), :],
+                                   0))
+            sz = jnp.sum(jnp.where(seed_mask, vox_ref[2, pl.ds(g * 8, 8), :],
+                                   0))
             lg2 = tuple(l._replace(
                 done=jnp.bool_(False), steps=zi, stuck=zi,
                 mnx=sx, mny=sy, mnz=sz, mxx=sx, mxy=sy, mxz=sz,
@@ -994,11 +1071,67 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         def slab_lo(l, i):
             return (smin[l] + jnp.minimum(i, slen[l] - 1)) * sw
 
+        if shared_window:
+            # union slab window over the ACTIVE lanes: every bounded pass
+            # iterates it with one shared column offset; inert lanes must
+            # not drag it to slab 0 (their pins are arbitrary)
+            u_lo = jnp.int32(n_slabs - 1)
+            u_hi = jnp.int32(0)
+            for l in range(lanes):
+                u_lo = jnp.minimum(
+                    u_lo, jnp.where(active[l], smin[l], n_slabs - 1))
+                u_hi = jnp.maximum(u_hi, jnp.where(active[l], smax[l], 0))
+            u_hi = jnp.maximum(u_hi, u_lo)
+            u_len = u_hi - u_lo + 1
+            # per-step per-lane scalar columns (built once; the passes
+            # below consume them as broadcast compares)
+            act8 = stack_i32([a.astype(jnp.int32) for a in active],
+                             rows_each=8) > 0
+            c_mnx = stack_i32([st.mnx - 1 for st in lsts], rows_each=8)
+            c_mxx = stack_i32([st.mxx + 1 for st in lsts], rows_each=8)
+            c_mny = stack_i32([st.mny - 1 for st in lsts], rows_each=8)
+            c_mxy = stack_i32([st.mxy + 1 for st in lsts], rows_each=8)
+            c_mnz = stack_i32([st.mnz - 1 for st in lsts], rows_each=8)
+            c_mxz = stack_i32([st.mxz + 1 for st in lsts], rows_each=8)
+            c_ctr_in = stack_i32(
+                [streams[l] + lsts[l].ctr for l in range(lanes)],
+                rows_each=8)
+            c_ctr_nb = stack_i32(
+                [streams[l] + lsts[l].ctr + 2 for l in range(lanes)],
+                rows_each=8)
+
         # --- prepare pass: masked sample-key encodings + counts ----------
         # enc_all rows [l*16, l*16+8) = lane l's inlier keys under its
         # current mask, [l*16+8, l*16+16) = neighbor keys under the bbox
-        # neighbor mask; sentinel IMAX elsewhere. Keys clamp to IMAX-1 so
-        # a key equal to the sentinel cannot alias a masked-out slot.
+        # neighbor mask (shared-window mode re-groups the rows as
+        # [all-inlier | all-neighbor] blocks); sentinel IMAX elsewhere.
+        # Keys clamp to IMAX-1 so a key equal to the sentinel cannot alias
+        # a masked-out slot.
+        def prep_body_shared(i, acc):
+            acc_in, acc_nb = acc
+            lo = (u_lo + i) * sw
+            curs = (current_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] > 0) & act8
+            viss = visited_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] > 0
+            vxs = vox_ref[0, pl.ds(0, lanes * 8), pl.ds(lo, sw)]
+            vys = vox_ref[1, pl.ds(0, lanes * 8), pl.ds(lo, sw)]
+            vzs = vox_ref[2, pl.ds(0, lanes * 8), pl.ds(lo, sw)]
+            rks = rank_ref[pl.ds(0, lanes * 8), pl.ds(lo, sw)]
+            nbs = ((rks < BIG) & ~curs & ~viss & act8
+                   & (vxs >= c_mnx) & (vxs <= c_mxx)
+                   & (vys >= c_mny) & (vys <= c_mxy)
+                   & (vzs >= c_mnz) & (vzs <= c_mxz))
+            gidx = gbase_t + lo
+            ki = jnp.minimum(hash_keys(gidx, c_ctr_in), IMAX - 1)
+            kn = jnp.minimum(hash_keys(gidx, c_ctr_nb), IMAX - 1)
+            enc_all_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] = jnp.where(
+                curs, ki, IMAX)
+            enc_all_s[pl.ds(lanes * 8, lanes * 8), pl.ds(lo, sw)] = \
+                jnp.where(nbs, kn, IMAX)
+            return (acc_in + jnp.sum(curs.astype(jnp.int32), axis=1,
+                                     keepdims=True),
+                    acc_nb + jnp.sum(nbs.astype(jnp.int32), axis=1,
+                                     keepdims=True))
+
         def prep_body(i, acc):
             parts = []
             for l, st in enumerate(lsts):
@@ -1007,10 +1140,10 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 lo = slab_lo(l, i)
                 curs = current_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] > 0
                 viss = visited_s[pl.ds(rm * 8, 8), pl.ds(lo, sw)] > 0
-                vxs = vox_ref[rm, 0:8, pl.ds(lo, sw)]
-                vys = vox_ref[rm, 8:16, pl.ds(lo, sw)]
-                vzs = vox_ref[rm, 16:24, pl.ds(lo, sw)]
-                rks = rank_ref[rm, pl.ds(0, 8), pl.ds(lo, sw)]
+                vxs = vox_ref[0, pl.ds(rm * 8, 8), pl.ds(lo, sw)]
+                vys = vox_ref[1, pl.ds(rm * 8, 8), pl.ds(lo, sw)]
+                vzs = vox_ref[2, pl.ds(rm * 8, 8), pl.ds(lo, sw)]
+                rks = rank_ref[pl.ds(rm * 8, 8), pl.ds(lo, sw)]
                 nbs = ((rks < BIG) & ~curs & ~viss
                        & (vxs >= st.mnx - 1) & (vxs <= st.mxx + 1)
                        & (vys >= st.mny - 1) & (vys <= st.mxy + 1)
@@ -1031,11 +1164,22 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             allr = jnp.concatenate(parts, axis=0).astype(jnp.int32)
             return acc + jnp.sum(allr, axis=1, keepdims=True)
 
-        cnts = jax.lax.fori_loop(0, max_slen, prep_body,
-                                 jnp.zeros((lanes * 16, 1), jnp.int32))
-        cur_cnt = [jnp.sum(cnts[l * 16:l * 16 + 8]) for l in range(lanes)]
-        nb_cnt = [jnp.sum(cnts[l * 16 + 8:l * 16 + 16])
-                  for l in range(lanes)]
+        if shared_window:
+            acc_in, acc_nb = jax.lax.fori_loop(
+                0, u_len, prep_body_shared,
+                (jnp.zeros((lanes * 8, 1), jnp.int32),
+                 jnp.zeros((lanes * 8, 1), jnp.int32)))
+            cur_cnt = [jnp.sum(acc_in[l * 8:(l + 1) * 8])
+                       for l in range(lanes)]
+            nb_cnt = [jnp.sum(acc_nb[l * 8:(l + 1) * 8])
+                      for l in range(lanes)]
+        else:
+            cnts = jax.lax.fori_loop(0, max_slen, prep_body,
+                                     jnp.zeros((lanes * 16, 1), jnp.int32))
+            cur_cnt = [jnp.sum(cnts[l * 16:l * 16 + 8])
+                       for l in range(lanes)]
+            nb_cnt = [jnp.sum(cnts[l * 16 + 8:l * 16 + 16])
+                      for l in range(lanes)]
         no_neighbor = [nb_cnt[l] == 0 for l in range(lanes)]
 
         # --- ONE fused 33-pass bisection for every lane's order stats ----
@@ -1059,6 +1203,43 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 ranks_all = ranks_all + jnp.where(
                     (rows_ga >= b0 + 2) & (rows_ga < b0 + g_all),
                     (cur_cnt[l] - 1) // 2 + 1, 0)
+
+        def bis_body_shared(_, bc):
+            lo_, hi_ = bc                                # (lanes*g_all, 1)
+            mid = _midpoint(lo_, hi_)
+            mid_keys = spread_exact(mid, sp_keys)        # (lanes*16, 1)
+            mid_rec = (spread_exact(mid, sp_rec) if exact_median else None)
+
+            def acc(i, rc):
+                lo = (u_lo + i) * sw
+                keys = enc_all_s[pl.ds(0, lanes * 16), pl.ds(lo, sw)]
+                out = rc[0] + jnp.sum((keys <= mid_keys).astype(jnp.float32),
+                                      axis=1, keepdims=True)
+                if not exact_median:
+                    return (out,)
+                cur_f = jnp.where(
+                    (current_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] > 0)
+                    & act8, jnp.float32(1.0), jnp.float32(0.0))
+                curt = jnp.dot(rep_rec, cur_f,
+                               preferred_element_type=jnp.float32,
+                               precision=hp) > 0.5
+                em = jnp.where(curt, enc_s[pl.ds(0, lanes * n_rec * 8),
+                                           pl.ds(lo, sw)], IMAX)
+                return (out, rc[1] + jnp.sum(
+                    (em <= mid_rec).astype(jnp.float32), axis=1,
+                    keepdims=True))
+
+            init = ((jnp.zeros((lanes * 16, 1), jnp.float32),)
+                    + ((jnp.zeros((lanes * n_rec * 8, 1), jnp.float32),)
+                       if exact_median else ()))
+            rcounts = jax.lax.fori_loop(0, u_len, acc, init)
+            stacked = (jnp.concatenate(rcounts, axis=0)
+                       if exact_median else rcounts[0])
+            counts = jnp.dot(pool_shared, stacked,
+                             preferred_element_type=jnp.float32,
+                             precision=hp).astype(jnp.int32)
+            take = counts >= ranks_all
+            return (jnp.where(take, lo_, mid + 1), jnp.where(take, mid, hi_))
 
         def bis_body(_, bc):
             lo_, hi_ = bc                                # (lanes*g_all, 1)
@@ -1100,7 +1281,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         def _run_bis(_):
             # hi0 = IMAX-1 keeps every probe mid strictly below the sentinel
             out, _hi = jax.lax.fori_loop(
-                0, 33, bis_body,
+                0, 33, bis_body_shared if shared_window else bis_body,
                 (jnp.full((lanes * g_all, 1), -2 ** 31, jnp.int32),
                  jnp.full((lanes * g_all, 1), 2 ** 31 - 2, jnp.int32)))
             return out
@@ -1142,10 +1323,12 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         cidx = jax.lax.broadcasted_iota(jnp.int32, (lanes * 8, n_slabs), 1)
 
         def build_sel_ranks(row_off, thrs):
-            """Write each lane's selection mask (keys <= its threshold) and
-            1-based global-row-major prefix ranks into sel_s / ranks_s rows
-            [l*8, l*8+8) — two bounded passes (per-slab row totals, then
-            in-slab prefix + cross-slab/cross-row offsets)."""
+            """Write each lane's SELECTION-MASKED 1-based global-row-major
+            prefix ranks into ranks_s rows [l*8, l*8+8) (0 on unselected
+            slots — sample targets are >= 1, so the gather's rank-match
+            needs no separate selection read) — two bounded passes
+            (per-slab row totals, then in-slab prefix + cross-slab/
+            cross-row offsets)."""
             def ph1(i, rt):
                 parts = []
                 for l in range(lanes):
@@ -1212,12 +1395,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                      axis=1, keepdims=True)
                 for l in range(lanes):
                     lo = slab_lo(l, i)
-                    sel_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = (
-                        sel[l * 8:(l + 1) * 8].astype(jnp.int32))
-                    ranks_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = (
-                        cum[l * 8:(l + 1) * 8]
-                        + prior_full[l * 8:(l + 1) * 8]
-                        + row_base[l * 8:(l + 1) * 8])
+                    rk = (cum[l * 8:(l + 1) * 8]
+                          + prior_full[l * 8:(l + 1) * 8]
+                          + row_base[l * 8:(l + 1) * 8])
+                    ranks_s[pl.ds(l * 8, 8), pl.ds(lo, sw)] = jnp.where(
+                        sel[l * 8:(l + 1) * 8], rk, 0)
                 return 0
 
             jax.lax.fori_loop(0, max_slen, ph2, 0)
@@ -1245,16 +1427,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                         gathered, idx_col = c
                         lo = cc * chunk
                         rr = ranks_s[pl.ds(l * 8, 8), pl.ds(lo, chunk)]
-                        ss = sel_s[pl.ds(l * 8, 8), pl.ds(lo, chunk)]
+                        # masked ranks: 0 on unselected slots, and targets
+                        # are >= 1 (sample_targets), so the match alone is
+                        # the selection test
                         flat_rr = rr.reshape(1, 8 * chunk)
-                        flat_ss = ss.reshape(1, 8 * chunk)
-                        hit = (targets[l] == flat_rr) & (flat_ss > 0)
+                        hit = targets[l] == flat_rr
                         onehot = hit.astype(jnp.float32)
                         feat_slab = (feat_slab_h if hbm_features
                                      else read_feat_slab(rm, cc))
-                        glob_row = jnp.concatenate(
-                            [r * p8 + lo + chunk_iota for r in range(8)],
-                            axis=1)
+                        glob_row = gbase8 + lo
                         # HIGHEST precision: default MXU would truncate the
                         # gathered FEATURE VALUES to bf16
                         gathered = gathered + jax.lax.dot_general(
@@ -1458,6 +1639,16 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
         # never reads a stale chunk at the range edges) --------------------
         def scatter_pass(idxs, decs, out_ref, bs):
             deci = [decs[l] > 0 for l in range(lanes)]
+            # decision scatter as ONE MXU dot per chunk: point g = r*p8+c
+            # splits into a slot->sublane one-hot (k, 8, built once per
+            # lane) and a slot->column one-hot (k, chunk, one compare per
+            # chunk); their contraction counts decided slots per (r, c) —
+            # >0 reproduces the old per-row hit-max exactly (duplicates OR)
+            rows8t = jax.lax.broadcasted_iota(jnp.int32, (k, 8), 1)
+            rowms = [jnp.where((idxs[l] // p8 == rows8t) & deci[l],
+                               jnp.float32(1.0), jnp.float32(0.0))
+                     for l in range(lanes)]
+            idxcs = [idxs[l] % p8 for l in range(lanes)]
 
             def body(i, _):
                 for l in range(lanes):
@@ -1472,14 +1663,14 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
                         @pl.when(inter)
                         def _():
-                            res = jnp.zeros((8, chunk), jnp.int32)
-                            for r in range(8):
-                                glob_row = r * p8 + lo + chunk_iota
-                                hit = (idxs[l] == glob_row) & deci[l]
-                                row_hit = jnp.max(hit.astype(jnp.int32),
-                                                  axis=0, keepdims=True)
-                                res = jnp.where(rows8 == r, row_hit, res)
-                            out_ref[pl.ds(l * 8, 8), pl.ds(lo, chunk)] = res
+                            colm = (idxcs[l] == lo + chunk_iota).astype(
+                                jnp.float32)
+                            res = jax.lax.dot_general(
+                                rowms[l], colm, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=hp)
+                            out_ref[pl.ds(l * 8, 8), pl.ds(lo, chunk)] = (
+                                res > 0.5).astype(jnp.int32)
 
                         @pl.when(~inter)
                         def _():
@@ -1534,7 +1725,9 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                     jnp.int32)
                 cparts.append(adds & ok)
                 cparts.append(ncur & ok)
-                vxyz = vox_ref[rm, pl.ds(0, 24), pl.ds(lo, sw)]
+                vxyz = jnp.concatenate(
+                    [vox_ref[c, pl.ds(rm * 8, 8), pl.ds(lo, sw)]
+                     for c in range(3)], axis=0)
                 nc3 = jnp.concatenate([ncur & ok] * 3, axis=0)
                 mnp.append(jnp.where(nc3, vxyz, BIG))
                 mxp.append(jnp.where(nc3, vxyz, -BIG))
@@ -1668,7 +1861,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             wave-commit rule (engine/grow.py segment_rooms K>1)."""
             s, lg = op
             vis = visited_s[pl.ds(g * 8, 8), pl.ds(0, p8)] > 0
-            rank_g = rank_ref[g]
+            rank_g = rank_ref[pl.ds(g * 8, 8), :]
             valid_g = rank_g < BIG
             row_i = jax.lax.broadcasted_iota(jnp.int32,
                                              (max_instances, 8), 0)
@@ -1750,7 +1943,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             kept = best_cnt > cluster_threshold
             labels_ref[g] = jnp.where(cur & kept, s.cluster_id,
                                       labels_ref[g])
-            rank_g = rank_ref[g]
+            rank_g = rank_ref[pl.ds(g * 8, 8), :]
             valid_g = rank_g < BIG
             gt_cnt = jnp.sum(jnp.where(valid_g & (obj_ref[g] == s.target),
                                        1, 0))
@@ -1808,7 +2001,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             kept = p0.cnt > cluster_threshold
             labels_ref[g] = jnp.where(cur & kept, s.cluster_id,
                                       labels_ref[g])
-            rank_g = rank_ref[g]
+            rank_g = rank_ref[pl.ds(g * 8, 8), :]
             valid_g = rank_g < BIG
             gt_cnt = jnp.sum(jnp.where(valid_g & (obj_ref[g] == s.target),
                                        1, 0))
@@ -1945,7 +2138,7 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     # The merged loop
     # ---------------------------------------------------------------------
 
-    n_valid0 = [jnp.sum(jnp.where(rank_ref[g] < BIG, 1, 0))
+    n_valid0 = [jnp.sum(jnp.where(rank_ref[pl.ds(g * 8, 8), :] < BIG, 1, 0))
                 for g in range(gb)]
     zi = jnp.int32(0)
 
@@ -2218,6 +2411,14 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             f"{len(weights)})")
     lanes = gb * lanes_per_room
     n_chunks_h = p8 // chunk
+    # coordinate-major voxel layout (3, G*8, p8): rows of one coordinate
+    # for ALL rooms are contiguous, so the shared-window passes read a
+    # coordinate for every lane as ONE dynamic-offset load; rank flattens
+    # to (G*8, p8) for the same reason (the public (G, 24, p8)/(G, 8, p8)
+    # layouts stay the API — the relayout is one device transpose/launch)
+    vox = vox.reshape(g_rooms, 3, 8, p8).transpose(1, 0, 2, 3) \
+             .reshape(3, g_rooms * 8, p8)
+    rank = rank.reshape(g_rooms * 8, p8)
     if hbm_features:
         # slab-major relayout for on-demand DMA: chunk cc of room g becomes
         # the contiguous (FP, 8*chunk) block feat[g, cc] whose sublane r
@@ -2262,9 +2463,9 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_features else
              pl.BlockSpec((gb, fp, p), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)),
-            pl.BlockSpec((gb, 24, p8), lambda i: (i, 0, 0),
+            pl.BlockSpec((3, gb * 8, p8), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 8, p8), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb * 8, p8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, 8, p8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
