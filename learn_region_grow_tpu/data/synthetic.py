@@ -216,6 +216,118 @@ def generate_furnished_rooms(num_rooms: int, seed: int = 0,
     return rooms
 
 
+# outdoor class vocabulary (cls_id) — KITTI-style categories (the stager
+# semantics these scenes stand in for: ``stage_semantic_kitti.py:121-187``,
+# resolution 0.3, class-constrained clustering, min cluster 50)
+(CLS_GROUND, CLS_BUILDING, CLS_VEHICLE, CLS_POLE,
+ CLS_VEGETATION) = range(10, 15)
+
+
+def generate_outdoor_scene(width: float, length: float,
+                           rng: np.random.RandomState,
+                           density: float = 0.12,
+                           xyz_noise: float = 0.02) -> np.ndarray:
+    """One KITTI-style street scene: a ground plane, building facades
+    along both sides, and scattered vehicles/poles/bushes as instances.
+
+    Stand-in for the Semantic KITTI accumulated-scan samples this
+    zero-egress box cannot download (reference
+    ``stage_semantic_kitti.py:139-187`` builds 20-scan windows, ~0.1-0.3 m
+    effective point spacing, instances = vehicles + class-constrained
+    clusters): outdoor scale (tens of meters), sparse sampling, a single
+    dominant ground plane and facade planes — evaluated at resolution 0.3
+    like the reference's KITTI configs (``README.md`` KITTI commands).
+    Standard 8-column layout [xyz, rgb, obj_id, cls_id].
+    """
+    parts = []
+    obj = 1
+
+    def add(pts, cls):
+        nonlocal obj
+        pcd = np.zeros((len(pts), 8))
+        pcd[:, :3] = pts
+        mean_color = rng.random_sample(3) - 0.5
+        pcd[:, 3:6] = np.clip(
+            mean_color + rng.randn(len(pts), 3) * COLOR_VARIATION * 0.5,
+            -0.5, 0.5)
+        pcd[:, 6] = obj
+        pcd[:, 7] = cls
+        parts.append(pcd)
+        obj += 1
+
+    # ground plane (one instance; the scene's dominant structure)
+    add(_face(rng, np.zeros(3), np.array([width, length, 0.0]), 2, 0.0,
+              density, xyz_noise), CLS_GROUND)
+    # building facades along y=0 and y=length (one instance each, with a
+    # height profile per building segment)
+    x = 0.0
+    while x < width - 2.0:
+        w = rng.uniform(6.0, 14.0)
+        hi_x = min(x + w, width)
+        for y_side in (0.0, length):
+            h = rng.uniform(4.0, 12.0)
+            lo = np.array([x, y_side, 0.0])
+            hi = np.array([hi_x, y_side, h])
+            add(_face(rng, lo, hi, 1, y_side, density, xyz_noise),
+                CLS_BUILDING)
+        x = hi_x + rng.uniform(0.5, 2.0)
+    # vehicles: box bodies on the ground, non-overlapping footprints
+    footprints = []
+    n_veh = rng.randint(6, 14)
+    placed, tries = 0, 0
+    while placed < n_veh and tries < n_veh * 20:
+        tries += 1
+        w, l, h = (rng.uniform(1.6, 2.2), rng.uniform(3.5, 5.5),
+                   rng.uniform(1.4, 2.0))
+        if rng.random_sample() < 0.5:
+            w, l = l, w
+        x0 = rng.uniform(1.0, width - w - 1.0)
+        y0 = rng.uniform(2.0, length - l - 2.0)
+        rect = (x0, y0, x0 + w, y0 + l)
+        if any(not (rect[2] < f[0] or f[2] < rect[0]
+                    or rect[3] < f[1] or f[3] < rect[1])
+               for f in footprints):
+            continue
+        footprints.append(rect)
+        lo = np.array([x0, y0, 0.0])
+        hi = np.array([x0 + w, y0 + l, h])
+        add(_cuboid_faces(rng, lo, hi, density * 0.5, xyz_noise),
+            CLS_VEHICLE)
+        placed += 1
+    # poles (thin vertical columns) and vegetation blobs
+    for _ in range(rng.randint(4, 10)):
+        x0 = rng.uniform(0.5, width - 1.0)
+        y0 = rng.uniform(0.5, length - 1.0)
+        s = 0.25
+        h = rng.uniform(3.0, 7.0)
+        lo = np.array([x0, y0, 0.0])
+        hi = np.array([x0 + s, y0 + s, h])
+        pts = np.vstack([_face(rng, lo, hi, ax, v, density * 0.4,
+                               xyz_noise)
+                         for ax in (0, 1) for v in (lo[ax], hi[ax])])
+        add(pts, CLS_POLE)
+    for _ in range(rng.randint(3, 8)):
+        c = np.array([rng.uniform(1, width - 1), rng.uniform(1, length - 1),
+                      rng.uniform(0.8, 1.8)])
+        r = rng.uniform(0.6, 1.6)
+        n = max(30, int(4 * np.pi * r * r / (density * 0.6) ** 2))
+        d = rng.randn(n, 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+        pts = c + d * r * (0.8 + 0.2 * rng.random_sample((n, 1)))
+        pts[:, 2] = np.abs(pts[:, 2])
+        add(pts, CLS_VEGETATION)
+    return np.vstack(parts)
+
+
+def generate_outdoor_scenes(num_scenes: int, seed: int = 0,
+                            scale: float = 1.0) -> List[np.ndarray]:
+    """KITTI-style scenes, ~(40 x 20 m) * scale each."""
+    rng = np.random.RandomState(seed)
+    return [generate_outdoor_scene(rng.uniform(30, 50) * scale,
+                                   rng.uniform(14, 24) * scale, rng)
+            for _ in range(num_scenes)]
+
+
 def write_synthetic_dataset(train_path: str, test_path: str,
                             num_train: int = 20, num_test: int = 5,
                             seed: int = 0, scale: float = 1.0):

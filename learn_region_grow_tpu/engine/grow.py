@@ -831,7 +831,8 @@ class FusedSegmenter:
                  truncation_warnings: bool = True, num_restarts: int = 1,
                  scoring: str = "ml", beam_width: int = 0,
                  search_width: int = 0, num_parallel_seeds: int = 1,
-                 seed_separation: int = 12, hbm_features=None):
+                 seed_separation: int = 12, hbm_features=None,
+                 shared_window=None):
         from ..ops import fused_grow as _fg
 
         if model_cfg.lite is not None:
@@ -889,6 +890,12 @@ class FusedSegmenter:
         self.search_width = search_width
         self.num_restarts = num_restarts
         self.hbm_features = hbm_features
+        # shared-window (lane-cohort) passes: every per-step bounded pass
+        # stacks ALL lanes' rows at ONE union column offset instead of one
+        # dynamic offset per lane (the round-4 cost model's ~80 us/lane
+        # issue overhead). None = auto: on whenever the greedy path allows
+        # it (R == 1, no beam/parallel seeds, VMEM features).
+        self.shared_window = shared_window
         # cfg.pallas_sampling means the same thing on the fused kernel as
         # on the wave engine: stratified rank sampling (one jittered draw
         # per stratum) instead of exact uniform without-replacement — the
@@ -978,6 +985,9 @@ class FusedSegmenter:
         for gi in range(gp):
             tbl[gi] = _fg.chunk_bounds(vox[gi], rank[gi],
                                        _fg.fused_chunk(psize // 8))
+        shw = (self.shared_window if self.shared_window is not None
+               else (self.num_restarts == 1 and self.beam_width == 0
+                     and not self.parallel_seeds and not hbm))
         kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
                   max_steps=cfg.max_steps,
                   cluster_threshold=cfg.cluster_threshold,
@@ -990,7 +1000,8 @@ class FusedSegmenter:
                   search_width=self.search_width,
                   parallel_seeds=self.parallel_seeds,
                   seed_separation=self.seed_separation,
-                  hbm_features=hbm, stratified=self.stratified)
+                  hbm_features=hbm, stratified=self.stratified,
+                  shared_window=shw)
         t0 = time.time()
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
@@ -1084,7 +1095,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         search_width: int = 0,
                         num_parallel_seeds: int = 1,
                         seed_separation: int = 12,
-                        hbm_features=None) -> List[RoomResult]:
+                        hbm_features=None,
+                        shared_window=None) -> List[RoomResult]:
     """Segment rooms with the fused multi-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
     seed pick in curvature order, grow-to-termination, visited/cluster
@@ -1137,7 +1149,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         truncation_warnings=truncation_warnings, num_restarts=num_restarts,
         scoring=scoring, beam_width=beam_width, search_width=search_width,
         num_parallel_seeds=num_parallel_seeds,
-        seed_separation=seed_separation, hbm_features=hbm_features)
+        seed_separation=seed_separation, hbm_features=hbm_features,
+        shared_window=shared_window)
     seg.submit({i: rf for i, rf in enumerate(rooms)})
     res = seg.collect()
     return [res[i] for i in range(len(rooms))]

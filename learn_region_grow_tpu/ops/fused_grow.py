@@ -688,8 +688,15 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
     R = lanes_per_room
     lanes = gb * R
-    # padded feature rows (feat_rows); hbm layout is (G, n_chunks, FP, 8c)
-    FP = feat_ref.shape[2] if hbm_features else feat_ref.shape[1]
+    # padded feature rows (feat_rows); hbm layout is (G, n_chunks, FP, 8c);
+    # shared-window layout is (G, FP*8, p8) — feature f's sublane r at row
+    # f*8+r, so a gather chunk is ONE (FP*8, chunk) dynamic-offset read
+    if hbm_features:
+        FP = feat_ref.shape[2]
+    elif shared_window:
+        FP = feat_ref.shape[1] // 8
+    else:
+        FP = feat_ref.shape[1]
     p8 = rank_ref.shape[1]
     p = 8 * p8
     n_chunks = p8 // chunk
@@ -740,6 +747,13 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             dma.wait()
             return feat_stage[...]
         lo = cc * chunk
+        if shared_window:
+            # (FP*8, p8) layout: row f*8+r, col c is point (r*p8 + c)'s
+            # feature f — the whole slab is ONE dynamic-offset read, and
+            # the (FP*8, chunk) -> (FP, 8*chunk) reshape lands feature f's
+            # sublane r at columns [r*chunk, (r+1)*chunk), exactly the
+            # gather layout above
+            return feat_ref[rm, :, pl.ds(lo, chunk)].reshape(FP, 8 * chunk)
         return jnp.concatenate(
             [feat_ref[rm, :, pl.ds(r * p8 + lo, chunk)] for r in range(8)],
             axis=1)
@@ -763,6 +777,13 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                 enc_row[:, r * chunk:(r + 1) * chunk]
                     return 0
                 jax.lax.fori_loop(0, n_chunks, enc_body, 0)
+        elif shared_window:
+            # (FP*8, p8) layout: feature fr's 8 sublane rows are already
+            # contiguous — one 8-row encode+store per (room, feature)
+            for g in range(gb):
+                for fi, fr in enumerate(rec_rows):
+                    enc_s[pl.ds((g * n_rec + fi) * 8, 8), :] = \
+                        sortable_encode(feat_ref[g, pl.ds(fr * 8, 8), :])
         else:
             for g in range(gb):
                 for fi, fr in enumerate(rec_rows):
@@ -817,15 +838,16 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
     _c8i = jax.lax.broadcasted_iota(jnp.int32, (1, 8 * chunk), 1)
     gbase8 = (_c8i // chunk) * p8 + (_c8i % chunk)
 
-    def spread_exact(v, mat):
-        """Exact int32 row spread ``mat @ v`` (mat 0/1 with one 1 per row)
-        via 16-bit halves at HIGHEST precision (as spread_groups)."""
-        up = lambda x: jnp.dot(mat, x.astype(jnp.float32),
-                               preferred_element_type=jnp.float32,
-                               precision=hp).astype(jnp.int32)
-        return up(v >> 16) * 65536 + up(v & 0xFFFF)
-
     if shared_window:
+        def spread_exact(v, mat):
+            """Exact int32 row spread ``mat @ v`` (mat 0/1 with one 1 per
+            row) via 16-bit halves at HIGHEST precision (as
+            spread_groups); shared-window mode only."""
+            up = lambda x: jnp.dot(mat, x.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32,
+                                   precision=hp).astype(jnp.int32)
+            return up(v >> 16) * 65536 + up(v & 0xFFFF)
+
         # SHARED-WINDOW mode constants (R == 1, no beam): every bounded
         # per-step pass iterates ONE union slab range with full-height
         # stacked reads/writes — one dynamic column offset per iteration
@@ -1404,6 +1426,61 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
             jax.lax.fori_loop(0, max_slen, ph2, 0)
 
+        def build_sel_ranks_shared(blk, thr_col):
+            """Shared-window sel ranks: enc_all's regrouped layout keeps
+            block ``blk`` (0 = all lanes' inlier rows, 1 = all neighbor
+            rows) contiguous, so every pass is ONE full-height read/write
+            at the shared union offset. thr_col (lanes*8, 1) = per-lane
+            thresholds spread to sublane rows. Ranks are identical to the
+            per-lane-window passes: a lane's selection is empty outside
+            its own bbox range (sentinel keys), so counting over the
+            union window adds exact zeros."""
+            br = blk * lanes * 8
+
+            def ph1(i, rt):
+                lo = (u_lo + i) * sw
+                slab = enc_all_s[pl.ds(br, lanes * 8), pl.ds(lo, sw)]
+                t = jnp.sum((slab <= thr_col).astype(jnp.int32),
+                            axis=1, keepdims=True)
+                return rt + jnp.where(cidx == (u_lo + i), t, 0)
+
+            rt = jax.lax.fori_loop(0, u_len, ph1,
+                                   jnp.zeros((lanes * 8, n_slabs),
+                                             jnp.int32))
+            inc = rt
+            d = 1
+            while d < n_slabs:
+                inc = inc + jnp.concatenate(
+                    [jnp.zeros((lanes * 8, d), jnp.int32),
+                     inc[:, :n_slabs - d]], axis=1)
+                d *= 2
+            row_prior = inc - rt
+            row_tot = inc[:, n_slabs - 1:n_slabs]
+            row_base = jnp.dot(lower_tri, row_tot.astype(jnp.float32),
+                               preferred_element_type=jnp.float32,
+                               precision=hp).astype(jnp.int32)
+
+            def ph2(i, _):
+                lo = (u_lo + i) * sw
+                sel = enc_all_s[pl.ds(br, lanes * 8),
+                                pl.ds(lo, sw)] <= thr_col
+                cum = sel.astype(jnp.int32)
+                d = 1
+                while d < sw:
+                    cum = cum + jnp.concatenate(
+                        [jnp.zeros((lanes * 8, d), jnp.int32),
+                         cum[:, :sw - d]], axis=1)
+                    d *= 2
+                prior_full = jnp.sum(jnp.where(cidx == (u_lo + i),
+                                               row_prior, 0),
+                                     axis=1, keepdims=True)
+                rk = cum + prior_full + row_base
+                ranks_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] = jnp.where(
+                    sel, rk, 0)
+                return 0
+
+            jax.lax.fori_loop(0, u_len, ph2, 0)
+
         # --- rank-match gathers over bbox-intersecting chunks -------------
         def gather_pass(targets, bs):
             """Per lane: gathered (FP, k) features + (k, 1) exact global
@@ -1458,7 +1535,11 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
             return jax.lax.fori_loop(0, max_clen, body, init)
 
         def sample_and_gather(row_off, thrs, cnts_, fill_off, bs):
-            build_sel_ranks(row_off, thrs)
+            if shared_window:
+                build_sel_ranks_shared(row_off // 8,
+                                       stack_i32(thrs, rows_each=8))
+            else:
+                build_sel_ranks(row_off, thrs)
             mk_targets = (sample_targets_stratified if stratified
                           else sample_targets)
             targets = [
@@ -1603,13 +1684,70 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                 offs.append(off)
             return offs
 
+        def slab_median_offsets_shared():
+            """Shared-window upper-order-statistic recovery: one bounded
+            pass over the union window with full-height stacked reads
+            (current replicated to rec rows via the rep_rec 0/1 matmul,
+            as the shared bisection) — same math as the per-lane pass."""
+            v_lo = jnp.concatenate(
+                [kth[l * g_all + 2:(l + 1) * g_all] for l in range(lanes)],
+                axis=0)                                 # (lanes*n_rec, 1)
+            hi_rk = stack_i32([cur_cnt[l] // 2 + 1 for l in range(lanes)],
+                              rows_each=n_rec)
+            v_lo_rows = spread_groups(v_lo, pool_med)   # (lanes*n_rec*8, 1)
+
+            def acc(i, carry):
+                cle, rmin = carry
+                lo = (u_lo + i) * sw
+                cur_f = jnp.where(
+                    (current_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] > 0)
+                    & act8, jnp.float32(1.0), jnp.float32(0.0))
+                curt = jnp.dot(rep_rec, cur_f,
+                               preferred_element_type=jnp.float32,
+                               precision=hp) > 0.5
+                slab = jnp.where(
+                    curt, enc_s[pl.ds(0, lanes * n_rec * 8), pl.ds(lo, sw)],
+                    IMAX)
+                cle = cle + jnp.sum((slab <= v_lo_rows).astype(jnp.float32),
+                                    axis=1, keepdims=True)
+                rmin = jnp.minimum(rmin, jnp.min(
+                    jnp.where(slab > v_lo_rows, slab, IMAX), axis=1,
+                    keepdims=True))
+                return cle, rmin
+
+            cle_rows, row_min = jax.lax.fori_loop(
+                0, u_len, acc,
+                (jnp.zeros((lanes * n_rec * 8, 1), jnp.float32),
+                 jnp.full((lanes * n_rec * 8, 1), 2 ** 31 - 1, jnp.int32)))
+            c_le = jnp.dot(pool_med, cle_rows,
+                           preferred_element_type=jnp.float32,
+                           precision=hp).astype(jnp.int32)
+            rowg = jax.lax.broadcasted_iota(jnp.int32,
+                                            (lanes * n_rec, 1), 0)
+            gmin = jnp.zeros((lanes * n_rec, 1), jnp.int32)
+            for q in range(lanes * n_rec):
+                gmin = gmin + jnp.where(
+                    rowg == q, jnp.min(row_min[q * 8:(q + 1) * 8]), 0)
+            v_hi = jnp.where(c_le >= hi_rk, v_lo, gmin)
+            med = 0.5 * (sortable_decode(v_lo) + sortable_decode(v_hi))
+            rowf = jax.lax.broadcasted_iota(jnp.int32, (FP, 1), 0)
+            offs = []
+            for l in range(lanes):
+                off = jnp.zeros((FP, 1), jnp.float32)
+                for fi, fr in enumerate(rec_rows):
+                    off = off + jnp.where(rowf == fr,
+                                          med[l * n_rec + fi, 0], 0.0)
+                offs.append(off)
+            return offs
+
         if exact_median:
             small_offs = gathered_median_offsets()
             slab_offs = jax.lax.cond(
                 all_small,
                 lambda _: [jnp.zeros((FP, 1), jnp.float32)
                            for _ in range(lanes)],
-                lambda _: slab_median_offsets(), 0)
+                lambda _: (slab_median_offsets_shared() if shared_window
+                           else slab_median_offsets()), 0)
             offs = [jnp.where(small[l], small_offs[l], slab_offs[l])
                     for l in range(lanes)]
         else:
@@ -1650,6 +1788,20 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                      for l in range(lanes)]
             idxcs = [idxs[l] % p8 for l in range(lanes)]
 
+            def body_shared(i, _):
+                # one batched (lanes, k, 8) x (lanes, k, chunk) contraction
+                # and ONE full-height write per union chunk; an inactive
+                # lane's rows get garbage, which commit ignores (keep_cur)
+                cc = u_lo * slab_chunks + i
+                lo = cc * chunk
+                colm = (idxcs3 == lo + chunk_iota3).astype(jnp.float32)
+                res = jax.lax.dot_general(
+                    rowms3, colm, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=hp)
+                out_ref[pl.ds(0, lanes * 8), pl.ds(lo, chunk)] = (
+                    res.reshape(lanes * 8, chunk) > 0.5).astype(jnp.int32)
+                return 0
+
             def body(i, _):
                 for l in range(lanes):
                     rm = l // R
@@ -1679,7 +1831,13 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
 
                 return 0
 
-            jax.lax.fori_loop(0, max_aclen, body, 0)
+            if shared_window:
+                idxcs3 = jnp.stack(idxcs, axis=0)       # (lanes, k, 1)
+                rowms3 = jnp.stack(rowms, axis=0)       # (lanes, k, 8)
+                chunk_iota3 = chunk_iota.reshape(1, 1, chunk)
+                jax.lax.fori_loop(0, u_len * slab_chunks, body_shared, 0)
+            else:
+                jax.lax.fori_loop(0, max_aclen, body, 0)
             # duplicate-slot OR membership (ml log-prob semantics,
             # test_random_restart.py:251-271)
             slot_sels = []
@@ -1740,24 +1898,75 @@ def _grow_kernel(seed_ref, feat_ref, vox_ref, rank_ref, obj_ref, tbl_ref,
                                          axis=1, keepdims=True))
             return acc_cnt, mn, mx
 
-        ccnt, mins, maxs = jax.lax.fori_loop(
-            0, max_slen, commit_body,
-            (jnp.zeros((lanes * 16, 1), jnp.int32),
-             jnp.full((lanes * 24, 1), BIG, jnp.int32),
-             jnp.full((lanes * 24, 1), -BIG, jnp.int32)))
+        def commit_body_shared(i, carry):
+            """Full-height commit over the union window: 3 mask reads +
+            1 write + 3 voxel reads per iteration REGARDLESS of lanes;
+            block row order [all-adds | all-ncur] / [all-x | all-y |
+            all-z] (vs the per-lane interleave)."""
+            acc_cnt, mn, mx = carry
+            lo = (u_lo + i) * sw
+            curs = current_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] > 0
+            adds = sel_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] > 0
+            rmvs = ranks_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] > 0
+            ncur = (curs | adds) & ~rmvs
+            commit = (curs & keep_col) | (ncur & ~keep_col)
+            current_s[pl.ds(0, lanes * 8), pl.ds(lo, sw)] = commit.astype(
+                jnp.int32)
+            adds_ok = adds & act8
+            ncur_ok = ncur & act8
+            acc_cnt = acc_cnt + jnp.sum(
+                jnp.concatenate([adds_ok, ncur_ok], axis=0).astype(
+                    jnp.int32), axis=1, keepdims=True)
+            vxyz = jnp.concatenate(
+                [vox_ref[c, pl.ds(0, lanes * 8), pl.ds(lo, sw)]
+                 for c in range(3)], axis=0)
+            nc3 = jnp.concatenate([ncur_ok] * 3, axis=0)
+            mn = jnp.minimum(mn, jnp.min(jnp.where(nc3, vxyz, BIG),
+                                         axis=1, keepdims=True))
+            mx = jnp.maximum(mx, jnp.max(jnp.where(nc3, vxyz, -BIG),
+                                         axis=1, keepdims=True))
+            return acc_cnt, mn, mx
+
+        if shared_window:
+            keep_col = stack_i32(
+                [kc.astype(jnp.int32) for kc in keep_cur], rows_each=8) > 0
+            ccnt, mins, maxs = jax.lax.fori_loop(
+                0, u_len, commit_body_shared,
+                (jnp.zeros((lanes * 16, 1), jnp.int32),
+                 jnp.full((lanes * 24, 1), BIG, jnp.int32),
+                 jnp.full((lanes * 24, 1), -BIG, jnp.int32)))
+        else:
+            ccnt, mins, maxs = jax.lax.fori_loop(
+                0, max_slen, commit_body,
+                (jnp.zeros((lanes * 16, 1), jnp.int32),
+                 jnp.full((lanes * 24, 1), BIG, jnp.int32),
+                 jnp.full((lanes * 24, 1), -BIG, jnp.int32)))
+
+        def _commit_rows(l):
+            """(add, ncur, xmin, xmax, ymin, ymax, zmin, zmax) row starts
+            of lane l in the commit accumulators (mode-dependent order)."""
+            if shared_window:
+                return (l * 8, lanes * 8 + l * 8,
+                        l * 8, l * 8,
+                        lanes * 8 + l * 8, lanes * 8 + l * 8,
+                        2 * lanes * 8 + l * 8, 2 * lanes * 8 + l * 8)
+            return (l * 16, l * 16 + 8, l * 24, l * 24,
+                    l * 24 + 8, l * 24 + 8, l * 24 + 16, l * 24 + 16)
 
         # --- per-lane termination bookkeeping ------------------------------
         out_lsts = []
         cands = []
         for l, st in enumerate(lsts):
-            add_cnt = jnp.sum(ccnt[l * 16:l * 16 + 8])
-            new_cnt = jnp.sum(ccnt[l * 16 + 8:l * 16 + 16])
-            vmin_x = jnp.min(mins[l * 24:l * 24 + 8])
-            vmax_x = jnp.max(maxs[l * 24:l * 24 + 8])
-            vmin_y = jnp.min(mins[l * 24 + 8:l * 24 + 16])
-            vmax_y = jnp.max(maxs[l * 24 + 8:l * 24 + 16])
-            vmin_z = jnp.min(mins[l * 24 + 16:l * 24 + 24])
-            vmax_z = jnp.max(maxs[l * 24 + 16:l * 24 + 24])
+            (r_add, r_new, r_xn, r_xx, r_yn, r_yx,
+             r_zn, r_zx) = _commit_rows(l)
+            add_cnt = jnp.sum(ccnt[r_add:r_add + 8])
+            new_cnt = jnp.sum(ccnt[r_new:r_new + 8])
+            vmin_x = jnp.min(mins[r_xn:r_xn + 8])
+            vmax_x = jnp.max(maxs[r_xx:r_xx + 8])
+            vmin_y = jnp.min(mins[r_yn:r_yn + 8])
+            vmax_y = jnp.max(maxs[r_yx:r_yx + 8])
+            vmin_z = jnp.min(mins[r_zn:r_zn + 8])
+            vmax_z = jnp.max(maxs[r_zx:r_zx + 8])
             updated = add_cnt > 0
             if beam:
                 # candidate = this lane's post-step mask; only expanding
@@ -2285,7 +2494,8 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
                       parallel_seeds: bool = False,
                       seed_separation: int = 12,
                       hbm_features: bool = False,
-                      stratified: bool = False):
+                      stratified: bool = False,
+                      shared_window: bool = False):
     """dp-sharded fused segmentation over the room axis: each device runs
     the multi-room kernel on its local rooms (no collectives; weights
     replicated). Callers pad the room count to a multiple of
@@ -2305,7 +2515,7 @@ def _sharded_fused_fn(mesh, k: int, feature_size: int, max_steps: int,
             beam_width=beam_width, search_width=search_width,
             parallel_seeds=parallel_seeds,
             seed_separation=seed_separation, hbm_features=hbm_features,
-            stratified=stratified)
+            stratified=stratified, shared_window=shared_window)
 
     shard = PS(DP_AXIS)
     rep = PS()
@@ -2333,7 +2543,8 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
                            kw.get("parallel_seeds", False),
                            kw.get("seed_separation", 12),
                            kw.get("hbm_features", False),
-                           kw.get("stratified", False))
+                           kw.get("stratified", False),
+                           kw.get("shared_window", False))
     return fn(seeds, feat, vox, rank, obj, tbl, *weights)
 
 
@@ -2341,7 +2552,7 @@ def fused_grow_rooms_sharded(mesh, seeds, feat, vox, rank, obj, tbl,
     "k", "feature_size", "max_steps", "cluster_threshold", "max_instances",
     "exact_median", "interpret", "rooms_per_program", "lanes_per_room",
     "scoring", "beam_width", "search_width", "parallel_seeds",
-    "seed_separation", "hbm_features", "stratified"))
+    "seed_separation", "hbm_features", "stratified", "shared_window"))
 def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      feature_size: int, max_steps: int,
                      cluster_threshold: int, max_instances: int = 512,
@@ -2351,7 +2562,8 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
                      search_width: int = 0, parallel_seeds: bool = False,
                      seed_separation: int = 12,
                      hbm_features: bool = False,
-                     stratified: bool = False):
+                     stratified: bool = False,
+                     shared_window: bool = False):
     """Segment G rooms fully on device, ``rooms_per_program`` concurrently
     per grid step with ``lanes_per_room`` restart attempts each (reproduces
     rooms_per_program=1 up to float-ULP forward differences; see
@@ -2409,6 +2621,19 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             "'cp' scoring needs the completeness-head weights: pack with "
             "pack_lrgnet_weights(with_complete=True) (26 arrays, got "
             f"{len(weights)})")
+    if shared_window:
+        # the shared-window (lane-cohort) passes stack every lane's rows
+        # at ONE union column offset; they assume lane l == room l
+        # (visited/vox/rank rows align with current rows), greedy control
+        # flow, and VMEM-resident features in the (FP*8, p8) layout
+        if lanes_per_room != 1 or beam_width > 0 or parallel_seeds:
+            raise ValueError(
+                "shared_window supports the greedy path only "
+                "(lanes_per_room == 1, no beam, no parallel seeds)")
+        if hbm_features:
+            raise ValueError(
+                "shared_window requires VMEM-resident features "
+                "(hbm_features=False)")
     lanes = gb * lanes_per_room
     n_chunks_h = p8 // chunk
     # coordinate-major voxel layout (3, G*8, p8): rows of one coordinate
@@ -2426,13 +2651,19 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
         feat = feat.reshape(g_rooms, fp, 8, n_chunks_h, chunk) \
                    .transpose(0, 3, 1, 2, 4) \
                    .reshape(g_rooms, n_chunks_h, fp, 8 * chunk)
+    elif shared_window:
+        # (FP*8, p8) relayout: feature f's sublane r at row f*8+r — a
+        # gather chunk becomes ONE (FP*8, chunk) dynamic-offset read
+        # (row-major reshape only; no data movement)
+        feat = feat.reshape(g_rooms, fp * 8, p8)
 
     kernel = functools.partial(
         _grow_kernel, gb=gb, lanes_per_room=lanes_per_room,
         scoring=scoring, beam_width=beam_width,
         search_width=search_width, parallel_seeds=parallel_seeds,
         seed_separation=seed_separation, hbm_features=hbm_features,
-        stratified=stratified, k=k, feature_size=feature_size,
+        stratified=stratified, shared_window=shared_window, k=k,
+        feature_size=feature_size,
         max_steps=max_steps, cluster_threshold=cluster_threshold,
         max_instances=max_instances, chunk=chunk, exact_median=exact_median)
 
@@ -2461,7 +2692,8 @@ def fused_grow_rooms(seeds, feat, vox, rank, obj, tbl, weights, *, k: int,
             # features: VMEM-resident window, or (hbm mode) the whole
             # slab-major array left in HBM and DMA'd per gather chunk
             (pl.BlockSpec(memory_space=pltpu.ANY) if hbm_features else
-             pl.BlockSpec((gb, fp, p), lambda i: (i, 0, 0),
+             pl.BlockSpec((gb, fp * 8, p8) if shared_window else
+                          (gb, fp, p), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)),
             pl.BlockSpec((3, gb * 8, p8), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),

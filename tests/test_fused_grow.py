@@ -284,6 +284,108 @@ def test_batched_rooms_bit_identical(tiny_rooms, trained):
     np.testing.assert_allclose(lg1[..., 6], lgg[..., 6], atol=1e-4)
 
 
+def test_shared_window_bit_identical(tiny_rooms, trained):
+    """The shared-window (lane-cohort) passes — one union column offset
+    per bounded-pass iteration instead of one per lane — are BIT-IDENTICAL
+    to the per-lane-window kernel at lanes >= 2: a lane's masks/keys are
+    sentinel outside its own bbox range, so stacked full-height passes
+    over the union window add exact zeros (``_grow_kernel`` shared mode).
+    Covers the regrouped [all-inlier | all-neighbor] enc_all layout that
+    every shared consumer (bisection, sel-ranks) must agree on."""
+    params, mcfg = trained
+    rfs = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
+           for r in tiny_rooms]
+    p = max(1024, 1 << (max(len(rf.points) for rf in rfs) - 1).bit_length())
+    g = len(rfs)
+    p8 = p // 8
+    chunk = fg.fused_chunk(p8)
+    feat = np.zeros((g, 16, p), np.float32)
+    vox = np.full((g, 24, p8), fg.PAD_VOX, np.int32)
+    rank = np.full((g, 8, p8), 2 ** 30, np.int32)
+    obj = np.zeros((g, 8, p8), np.int32)
+    tbl = np.zeros((g, 8, p8 // chunk), np.int32)
+    seeds = np.zeros((g, 1), np.int32)
+    for i, rf in enumerate(rfs):
+        feat[i], vox[i], rank[i], obj[i], _ = fg.pack_room(rf, p, 13)
+        seeds[i, 0] = 1000003 + i
+        tbl[i] = fg.chunk_bounds(vox[i], rank[i], chunk)
+    args = [jnp.asarray(x) for x in (seeds, feat, vox, rank, obj, tbl)]
+    w = [jnp.asarray(a) for a in fg.pack_lrgnet_weights(params, 13)]
+    for em in (True, False):
+        kw = dict(k=128, feature_size=13, max_steps=60,
+                  cluster_threshold=10, max_instances=32, exact_median=em,
+                  interpret=True, rooms_per_program=g)
+        l0, lg0, c0 = fg.fused_grow_rooms(*args, w, **kw)
+        l1, lg1, c1 = fg.fused_grow_rooms(*args, w, shared_window=True,
+                                          **kw)
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        lg0, lg1 = np.asarray(lg0), np.asarray(lg1)
+        np.testing.assert_array_equal(lg0[..., :6], lg1[..., :6])
+        np.testing.assert_array_equal(lg0[..., 7], lg1[..., 7])
+        np.testing.assert_allclose(lg0[..., 6], lg1[..., 6], atol=1e-4)
+
+
+def test_shared_window_multislab_bit_identical(tiny_rooms, trained,
+                                               monkeypatch):
+    """Same parity with the union window spanning SEVERAL slabs
+    (n_slabs > 1), where the shared passes' one-offset-per-iteration
+    structure actually differs from the per-lane ranges. A narrowed chunk
+    width (16 columns) reaches n_slabs = 2 at p8 = 256 — cheap enough for
+    interpret mode on this single-core host; fused_chunk is the single
+    source of truth for kernel AND host bounds table, so one monkeypatch
+    keeps them consistent."""
+    params, mcfg = trained
+    # coarser resolution keeps the rooms under a 2048-point bucket so
+    # interpret mode stays cheap
+    rfs = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.2)
+           for r in tiny_rooms]
+    monkeypatch.setattr(fg, "fused_chunk", lambda p8: min(16, p8))
+    p = 2048
+    g = len(rfs)
+    p8 = p // 8
+    chunk = fg.fused_chunk(p8)
+    assert (p8 // chunk) // min(8, p8 // chunk) == 2  # n_slabs
+    feat = np.zeros((g, 16, p), np.float32)
+    vox = np.full((g, 24, p8), fg.PAD_VOX, np.int32)
+    rank = np.full((g, 8, p8), 2 ** 30, np.int32)
+    obj = np.zeros((g, 8, p8), np.int32)
+    tbl = np.zeros((g, 8, p8 // chunk), np.int32)
+    seeds = np.zeros((g, 1), np.int32)
+    for i, rf in enumerate(rfs):
+        assert len(rf.points) <= p
+        feat[i], vox[i], rank[i], obj[i], _ = fg.pack_room(rf, p, 13)
+        seeds[i, 0] = 77 + i
+        tbl[i] = fg.chunk_bounds(vox[i], rank[i], chunk)
+    args = [jnp.asarray(x) for x in (seeds, feat, vox, rank, obj, tbl)]
+    w = [jnp.asarray(a) for a in fg.pack_lrgnet_weights(params, 13)]
+    kw = dict(k=128, feature_size=13, max_steps=60, cluster_threshold=10,
+              max_instances=32, exact_median=True, interpret=True,
+              rooms_per_program=g)
+    l0, lg0, c0 = fg.fused_grow_rooms(*args, w, **kw)
+    l1, lg1, c1 = fg.fused_grow_rooms(*args, w, shared_window=True, **kw)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(lg0)[..., :6],
+                                  np.asarray(lg1)[..., :6])
+
+
+def test_shared_window_validation():
+    """Unsupported lane modes raise instead of mis-running."""
+    z = jnp.zeros
+    argz = (z((2, 1), jnp.int32), z((2, 16, 1024), jnp.float32),
+            z((2, 24, 128), jnp.int32), z((2, 8, 128), jnp.int32),
+            z((2, 8, 128), jnp.int32), z((2, 8, 1), jnp.int32))
+    kw = dict(k=128, feature_size=13, max_steps=8, cluster_threshold=10,
+              interpret=True, shared_window=True)
+    for bad in (dict(lanes_per_room=2),
+                dict(beam_width=2, search_width=2, lanes_per_room=4),
+                dict(parallel_seeds=True, lanes_per_room=2),
+                dict(hbm_features=True)):
+        with np.testing.assert_raises(ValueError):
+            fg.fused_grow_rooms(*argz, [], **kw, **bad)
+
+
 def test_fused_segmenter_incremental_submit(tiny_rooms, trained):
     """The async prep/grow-overlap API: submitting rooms in two groups
     yields the same per-room results as one submit-everything call (room
@@ -377,6 +479,9 @@ def test_kernel_lowers_for_tpu_target():
                     parallel_seeds=True),
                dict(rooms_per_program=1, hbm_features=True),
                dict(rooms_per_program=2, stratified=True,
+                    exact_median=False),
+               dict(rooms_per_program=2, shared_window=True),
+               dict(rooms_per_program=2, shared_window=True,
                     exact_median=False),
                dict(rooms_per_program=1, lanes_per_room=4, beam_width=2,
                     search_width=2)):

@@ -70,7 +70,7 @@ def aggregate_nmi(text: str) -> float:
     return float(m.group(1))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-dir", default="data",
                     help="directory holding the reference H5 drops")
@@ -80,19 +80,24 @@ def main():
                     help="reference MAX_EPOCH (train_region_grow.py:6)")
     ap.add_argument("--multiseed", type=int, default=8,
                     help="reference MULTISEED (train_region_grow.py:15)")
+    ap.add_argument("--batch-size", type=int, default=100,
+                    help="reference BATCH_SIZE (train_region_grow.py:5); "
+                         "must divide by the dp mesh size")
     ap.add_argument("--tolerance-sigmas", type=float, default=2.0,
                     help="pass band around the published mean, in units "
                          "of the published per-room sigma")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse an existing checkpoint (naming scheme)")
+    ap.add_argument("--results-dir", default=None,
+                    help="default: <repo>/results/real_data")
     ap.add_argument("--no-fused", dest="fused", action="store_false",
                     help="evaluate on the XLA lane engine instead of the "
                          "fused kernel")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     models_dir = args.models_dir or os.path.join(args.data_dir, "models")
     os.makedirs(models_dir, exist_ok=True)
-    results_dir = os.path.join(os.path.dirname(BASE), "results",
-                               "real_data")
+    results_dir = args.results_dir or os.path.join(
+        os.path.dirname(BASE), "results", "real_data")
     os.makedirs(results_dir, exist_ok=True)
 
     have = {a: os.path.exists(os.path.join(
@@ -118,17 +123,34 @@ def main():
     t0 = time.time()
     if not args.skip_train:
         # reference staging: one multiseed shard per augmentation seed
-        # (stage_data.py:50-56), train areas exclude the val area
+        # (stage_data.py:50-56), train areas exclude the val area; the
+        # ScanNet record uses its own scannet-trained model
+        # (test_region_grow.py:85 restores lrgnet_model<AREA>, README
+        # stages/trains s3dis AND scannet)
+        stage_areas = ["1,2,3,4,6"] + (["scannet"] if have["scannet"]
+                                       else [])
         for seed in range(args.multiseed):
-            sd.main(["--area", "1,2,3,4,6", "--seed", str(seed),
-                     "--data-dir", args.data_dir])
+            for sa in stage_areas:
+                sd.main(["--area", sa, "--seed", str(seed),
+                         "--data-dir", args.data_dir])
         sd.main(["--area", "5", "--data-dir", args.data_dir])
+        if have["scannet"]:
+            # val shard for the scannet-trained model (staged_areascannet)
+            sd.main(["--area", "scannet", "--data-dir", args.data_dir])
         print("staging done %.0fs" % (time.time() - t0), flush=True)
         trg.main(["--train-area", "1,2,3,4,6", "--val-area", "5",
                   "--multiseed", str(args.multiseed),
                   "--epochs", str(args.epochs),
+                  "--batch-size", str(args.batch_size),
                   "--data-dir", args.data_dir,
                   "--models-dir", models_dir])
+        if have["scannet"]:
+            trg.main(["--train-area", "scannet", "--val-area", "scannet",
+                      "--multiseed", str(args.multiseed),
+                      "--epochs", str(args.epochs),
+                      "--batch-size", str(args.batch_size),
+                      "--data-dir", args.data_dir,
+                      "--models-dir", models_dir])
         print("training done %.0fs" % (time.time() - t0), flush=True)
 
     failures = []
