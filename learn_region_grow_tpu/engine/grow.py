@@ -893,9 +893,15 @@ class FusedSegmenter:
         # shared-window (lane-cohort) passes: every per-step bounded pass
         # stacks ALL lanes' rows at ONE union column offset instead of one
         # dynamic offset per lane (the round-4 cost model's ~80 us/lane
-        # issue overhead). None = auto: on whenever the greedy path allows
-        # it (R == 1, no beam/parallel seeds, VMEM features).
-        self.shared_window = shared_window
+        # issue overhead). Default OFF: the real-chip A/B
+        # (val_run/run_shared_ab.py, 12-room bench set, min-of-5) measured
+        # 0.670 s shared vs 0.628 s per-lane at identical NMI 0.988 — the
+        # union window's extra slab iterations (different rooms' regions
+        # sit in disjoint parts of the rank space, so the union spans most
+        # of the room) outweigh the per-lane issue-overhead savings. The
+        # mode stays available (bit-identical, tested) for workloads whose
+        # lane windows genuinely overlap.
+        self.shared_window = bool(shared_window)
         # cfg.pallas_sampling means the same thing on the fused kernel as
         # on the wave engine: stratified rank sampling (one jittered draw
         # per stratum) instead of exact uniform without-replacement — the
@@ -985,9 +991,7 @@ class FusedSegmenter:
         for gi in range(gp):
             tbl[gi] = _fg.chunk_bounds(vox[gi], rank[gi],
                                        _fg.fused_chunk(psize // 8))
-        shw = (self.shared_window if self.shared_window is not None
-               else (self.num_restarts == 1 and self.beam_width == 0
-                     and not self.parallel_seeds and not hbm))
+        shw = self.shared_window
         kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
                   max_steps=cfg.max_steps,
                   cluster_threshold=cfg.cluster_threshold,

@@ -63,6 +63,12 @@ AREA6_TARGETS = (360448, 409600)
 # add MORE near-cap rooms (diversity, not just reach — the cap room's
 # 395k eq is already inside the area-6 range) right up to the VMEM cap
 AREA7_TARGETS = (458752, 499712)
+# round 5: the 1M-point HBM-features regime (results/hbm_cap.txt NMI
+# 0.747-0.767 at P=1,048,576 vs a 1.000 mechanics ceiling) was never in
+# the training mix — the round-4 checkpoint tops out at ~500k-eq rooms.
+# Rooms ABOVE the 524k VMEM cap, staged with 2 seeds (they are the
+# slowest programs; sample diversity comes from 3 rooms x 8192 samples)
+AREA8_TARGETS = (622592, 786432, 950272)
 
 
 def make_large_room(target_eq: int, rng):
@@ -127,15 +133,26 @@ def stage_area7():
     stage_large_area("7", AREA7_TARGETS, rng_seed=700)
 
 
+def stage_area8():
+    stage_large_area("8", AREA8_TARGETS, rng_seed=800,
+                     staging_seeds=(0, 1))
+
+
 def train():
     from learn_region_grow_tpu.train.checkpoint import save_checkpoint
     from learn_region_grow_tpu.train.trainer import TrainConfig, fit
 
+    # round 5: the flagship checkpoint now ALSO carries the completeness
+    # head (run_completeness.py validated it held-out r=0.91; folding it
+    # into the flagship lets greedy commit-gating / fragment merging use
+    # it without a second model)
     cfg = TrainConfig(batch_size=100, max_epoch=24, multiseed=4,
+                      completeness_head=True,
                       data_dir=DATA, models_dir=os.path.join(BASE, "models"))
-    params, summary = fit(cfg, ["1", "2", "3", "4", "6", "7"])
+    params, summary = fit(cfg, ["1", "2", "3", "4", "6", "7", "8"])
     out = os.path.join(REPO, "models", "synthetic_pretrained.npz")
-    targets = AREA4_TARGETS + AREA6_TARGETS + AREA7_TARGETS
+    targets = (AREA4_TARGETS + AREA6_TARGETS + AREA7_TARGETS
+               + AREA8_TARGETS)
     trained_on = (
         "synthetic mixed-scale: 3x8 box rooms scale=0.6 + %d large "
         "furnished rooms eq %dk-%dk (device-staged), multiseed%d" % (
@@ -145,6 +162,7 @@ def train():
         "feature_size": 13, "lite": None,
         "trained_on": trained_on,
         "epochs": cfg.max_epoch,
+        "completeness_head": True,
     })
     print("saved", out)
     print(json.dumps(summary))
@@ -155,5 +173,6 @@ if __name__ == "__main__":
         stage_area4()
         stage_area6()
         stage_area7()
+        stage_area8()
     if STAGE in ("all", "train"):
         train()
