@@ -9,6 +9,7 @@ Per-room and aggregate metric lines keep the reference stdout format so
 
 import argparse
 import os
+import sys
 import time
 
 import numpy as np
@@ -159,7 +160,18 @@ def run_area(area: str, args) -> list:
     save_id = 0
     for i, rid in enumerate(kept_ids):
         rf, res = feats[i], results[i]
-        m, cluster_label2 = room_metrics(rf.obj_id, res.cluster_label)
+        cl = res.cluster_label
+        if args.merge_postpass:
+            from ..engine.merge import merge_fragments
+            cl, rep = merge_fragments(
+                params, mcfg, rf, cl, num_inlier=args.num_inlier,
+                num_neighbor=args.num_neighbor, seed=args.seed)
+            print("merge postpass room %d: %d merges in %d rounds "
+                  "(%d pairs scored)" % (rid, rep["merges"],
+                                         rep["rounds"],
+                                         rep["pairs_scored"]),
+                  file=sys.stderr)
+        m, cluster_label2 = room_metrics(rf.obj_id, cl)
         all_metrics.append(m)
         total_points += len(rooms[rid])
         print("Area %s room %d NMI: %.2f AMI: %.2f ARS: %.2f PRC: %.2f "
@@ -231,6 +243,11 @@ def main(argv=None):
     ap.add_argument("--tail-seeds", type=int, default=0,
                     help="adaptive fragment-tail seed count (collapses the "
                          "small-region tail; validated ~equal NMI)")
+    ap.add_argument("--merge-postpass", action="store_true",
+                    help="merge adjacent fragments whose union the "
+                         "completeness head scores above both parts "
+                         "(needs a complete_head checkpoint; "
+                         "engine/merge.py)")
     ap.add_argument("--parallel-seeds", type=int, default=1,
                     help=">1 grows several separated seeds per room per "
                          "wave (priority commit; ~Kx faster, validate NMI)")

@@ -832,7 +832,7 @@ class FusedSegmenter:
                  scoring: str = "ml", beam_width: int = 0,
                  search_width: int = 0, num_parallel_seeds: int = 1,
                  seed_separation: int = 12, hbm_features=None,
-                 shared_window=None):
+                 shared_window=None, compact_transfer: bool = True):
         from ..ops import fused_grow as _fg
 
         if model_cfg.lite is not None:
@@ -902,6 +902,14 @@ class FusedSegmenter:
         # mode stays available (bit-identical, tested) for workloads whose
         # lane windows genuinely overlap.
         self.shared_window = bool(shared_window)
+        # compact-transfer packing: upload the group's rooms as UNPADDED
+        # concatenated pack-order arrays and expand them into the kernel
+        # slab layout on device (``ops/device_pack.py``) — bit-identical
+        # inputs with ~40% fewer bytes over this box's host<->device
+        # tunnel, and ONE bit-packed output fetch per program instead of
+        # three (single-device path only; the dp-sharded path keeps the
+        # padded per-shard device_puts)
+        self.compact_transfer = bool(compact_transfer)
         # cfg.pallas_sampling means the same thing on the fused kernel as
         # on the wave engine: stratified rank sampling (one jittered draw
         # per stratum) instead of exact uniform without-replacement — the
@@ -968,6 +976,47 @@ class FusedSegmenter:
                                               hbm_features=hbm)
         gp = -(-g // (gb * self.dp)) * (gb * self.dp)
         n_chunks = (psize // 8) // _fg.fused_chunk(psize // 8)
+        shw = self.shared_window
+        kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
+                  max_steps=cfg.max_steps,
+                  cluster_threshold=cfg.cluster_threshold,
+                  max_instances=self.max_instances,
+                  exact_median=self.exact_median,
+                  interpret=self.interpret, rooms_per_program=gb,
+                  lanes_per_room=self.num_restarts,
+                  scoring=self.scoring,
+                  beam_width=self.beam_width,
+                  search_width=self.search_width,
+                  parallel_seeds=self.parallel_seeds,
+                  seed_separation=self.seed_separation,
+                  hbm_features=hbm, stratified=self.stratified,
+                  shared_window=shw)
+        if self.compact_transfer and self.mesh is None:
+            from ..ops import device_pack as _dp
+            seeds_np = np.zeros((gp, 1), np.int32)
+            for gi, ri in enumerate(room_ids):
+                seeds_np[gi, 0] = cfg.seed * 1000003 + ri
+            hs = _dp.stage_group([rooms[ri] for ri in room_ids],
+                                 cfg.feature_size, seeds_np, gp)
+            t0 = time.time()
+            packed = _dp.device_pack(
+                jnp.asarray(hs.feats_c), jnp.asarray(hs.vox_c),
+                jnp.asarray(hs.rank_c), jnp.asarray(hs.obj_c),
+                jnp.asarray(hs.eq_base), g=gp, p=psize,
+                feature_size=cfg.feature_size,
+                chunk=_fg.fused_chunk(psize // 8))
+            labels_d, log_d, counters_d = _fg.fused_grow_rooms(
+                jnp.asarray(hs.seeds), *packed, self.weights, **kw)
+            buf_d = _dp.compact_outputs(
+                labels_d, log_d, counters_d, jnp.asarray(hs.eq_base),
+                eqcap=len(hs.feats_c))
+            self._pending.append(dict(
+                room_ids=room_ids,
+                rooms={ri: rooms[ri] for ri in room_ids},
+                compact=dict(buf_d=buf_d, eq_base=hs.eq_base,
+                             pos_of_orig=hs.pos_of_orig, gp=gp),
+                t_setup=t0 - t_setup, t_launch=t0))
+            return
         # only the live feature rows ever leave the host (the kernel
         # zero-pads to its FP layout on device)
         feat = np.zeros((gp, cfg.feature_size, psize), np.float32)
@@ -991,21 +1040,6 @@ class FusedSegmenter:
         for gi in range(gp):
             tbl[gi] = _fg.chunk_bounds(vox[gi], rank[gi],
                                        _fg.fused_chunk(psize // 8))
-        shw = self.shared_window
-        kw = dict(k=cfg.num_inlier, feature_size=cfg.feature_size,
-                  max_steps=cfg.max_steps,
-                  cluster_threshold=cfg.cluster_threshold,
-                  max_instances=self.max_instances,
-                  exact_median=self.exact_median,
-                  interpret=self.interpret, rooms_per_program=gb,
-                  lanes_per_room=self.num_restarts,
-                  scoring=self.scoring,
-                  beam_width=self.beam_width,
-                  search_width=self.search_width,
-                  parallel_seeds=self.parallel_seeds,
-                  seed_separation=self.seed_separation,
-                  hbm_features=hbm, stratified=self.stratified,
-                  shared_window=shw)
         t0 = time.time()
         if self.mesh is None:
             labels_d, log_d, counters_d = _fg.fused_grow_rooms(
@@ -1033,9 +1067,18 @@ class FusedSegmenter:
         store drains, so interleaved submit/collect cycles never return a
         room twice."""
         for rec in self._pending:
-            labels = np.asarray(jax.device_get(rec["labels_d"]))
-            logs = np.asarray(jax.device_get(rec["log_d"]))
-            counters = np.asarray(jax.device_get(rec["counters_d"]))
+            if "compact" in rec:
+                from ..ops import device_pack as _dp
+                cp = rec["compact"]
+                buf = np.asarray(jax.device_get(cp["buf_d"]))
+                eqcap = (len(buf) - cp["gp"] * (self.max_instances * 8
+                                                + 8 * 128))
+                lab_eq, logs, counters = _dp.split_outputs(
+                    buf, eqcap, cp["gp"], self.max_instances)
+            else:
+                labels = np.asarray(jax.device_get(rec["labels_d"]))
+                logs = np.asarray(jax.device_get(rec["log_d"]))
+                counters = np.asarray(jax.device_get(rec["counters_d"]))
             # net includes device queue wait of earlier programs (async
             # dispatch); per-room figures are diagnostics, not a benchmark
             net_time = time.time() - rec["t_launch"]
@@ -1043,8 +1086,17 @@ class FusedSegmenter:
             for gi, ri in enumerate(rec["room_ids"]):
                 rf = rec["rooms"][ri]
                 # labels come back in the sorted-interleaved layout;
-                # restore maps original point index -> flat slot
-                lbl = labels[gi].reshape(-1)[rec["restores"][gi]].astype(int)
+                # restore maps original point index -> flat slot (compact
+                # path: eq-order compact labels, pos_of_orig maps rf
+                # order -> pack position)
+                if "compact" in rec:
+                    cp = rec["compact"]
+                    b = cp["eq_base"][gi]
+                    room_lab = lab_eq[b:b + len(rf.points)]
+                    lbl = room_lab[cp["pos_of_orig"][gi]].astype(int)
+                else:
+                    lbl = labels[gi].reshape(-1)[
+                        rec["restores"][gi]].astype(int)
                 n_inst = int(counters[gi, 0, 1])
                 if n_inst > self.max_instances and self.truncation_warnings:
                     # the kernel seeds to full coverage regardless
@@ -1100,7 +1152,8 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
                         num_parallel_seeds: int = 1,
                         seed_separation: int = 12,
                         hbm_features=None,
-                        shared_window=None) -> List[RoomResult]:
+                        shared_window=None,
+                        compact_transfer: bool = True) -> List[RoomResult]:
     """Segment rooms with the fused multi-room Pallas kernel
     (``ops/fused_grow.py``): the ENTIRE sequential-seed reference loop —
     seed pick in curvature order, grow-to-termination, visited/cluster
@@ -1154,7 +1207,7 @@ def segment_rooms_fused(params, model_cfg: lrgnet.LrgNetConfig,
         scoring=scoring, beam_width=beam_width, search_width=search_width,
         num_parallel_seeds=num_parallel_seeds,
         seed_separation=seed_separation, hbm_features=hbm_features,
-        shared_window=shared_window)
+        shared_window=shared_window, compact_transfer=compact_transfer)
     seg.submit({i: rf for i, rf in enumerate(rooms)})
     res = seg.collect()
     return [res[i] for i in range(len(rooms))]
