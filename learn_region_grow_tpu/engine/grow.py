@@ -962,6 +962,22 @@ class FusedSegmenter:
         hbm = (psize > _fg.MAX_FUSED_POINTS if self.hbm_features is None
                else self.hbm_features)
         per_dev = -(-g // self.dp)  # never pad beyond per-device rooms
+        if (self.hbm_features is None and not hbm and per_dev > 1
+                and self.num_restarts == 1 and self.beam_width == 0
+                and not self.parallel_seeds and not self.shared_window):
+            # round-5 packing auto-pick (verdict ask #4): below the VMEM
+            # cap the DMA variant still frees the dominant VMEM consumer
+            # (features, 4*FP bytes/pt), letting MORE rooms share one
+            # program. Multi-room amortization (1.2-3.0x measured,
+            # results/multiroom_sweep.txt) beats the DMA overhead
+            # (0.90-1.10x, results/hbm_cap.txt parity row), so switch to
+            # HBM packing whenever it raises this launch's rooms/program.
+            gb_v = _fg.rooms_per_program_budget(psize, cfg.feature_size,
+                                                self.num_restarts)
+            gb_h = _fg.rooms_per_program_budget(psize, cfg.feature_size,
+                                                self.num_restarts,
+                                                hbm_features=True)
+            hbm = min(gb_h, per_dev) > min(gb_v, per_dev)
         gb = min(_fg.rooms_per_program_budget(psize, cfg.feature_size,
                                               self.num_restarts,
                                               hbm_features=hbm), per_dev)

@@ -607,3 +607,33 @@ def test_stratified_relaxed_quality(tiny_rooms, trained):
     nmi_e = room_metrics(rf.obj_id, res_e.cluster_label)[0].nmi
     nmi_s = room_metrics(rf.obj_id, res_s.cluster_label)[0].nmi
     assert nmi_s > nmi_e - 0.15, (nmi_s, nmi_e)
+
+
+def test_hbm_budget_raises_rooms_per_program():
+    """Round-5 packing auto-pick premise: with features HBM-resident the
+    per-room VMEM window shrinks by 4*feat_rows bytes/point, so more
+    rooms share one program at mid sizes (the verdict's G-sweep ask).
+    At tiny P both packings hit the 8-room cap (no switch)."""
+    gb_v = fg.rooms_per_program_budget(131072, 13)
+    gb_h = fg.rooms_per_program_budget(131072, 13, hbm_features=True)
+    assert gb_h > gb_v, (gb_v, gb_h)
+    assert fg.rooms_per_program_budget(1024, 13) == 8
+    assert fg.rooms_per_program_budget(1024, 13, hbm_features=True) == 8
+
+
+def test_hbm_multiroom_bit_identical(tiny_rooms, trained):
+    """The auto-picked combination — MULTI-room program with HBM-resident
+    features — is bit-identical to the VMEM multi-room program (the
+    single-room parity test plus the batching invariant compose)."""
+    params, mcfg = trained
+    rfs = [prepare_room(r[:, :6], r[:, 6], r[:, 7], resolution=0.1)
+           for r in tiny_rooms]
+    gcfg = GrowConfig(num_inlier=128, num_neighbor=128, max_steps=120)
+    res_v = segment_rooms_fused(params, mcfg, rfs, gcfg,
+                                max_instances=64, interpret=True)
+    res_h = segment_rooms_fused(params, mcfg, rfs, gcfg,
+                                max_instances=64, interpret=True,
+                                hbm_features=True)
+    for v, h in zip(res_v, res_h):
+        np.testing.assert_array_equal(v.cluster_label, h.cluster_label)
+        assert v.num_clusters == h.num_clusters

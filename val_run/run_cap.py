@@ -78,6 +78,25 @@ def main():
                 P, eq, raw, t_grow, raw / t_grow, m.nmi, m.prc,
                 res[0].num_clusters, n_inst))
     print(line, flush=True)
+    # completeness-gated fragment merging (round-5 verdict ask #3): the
+    # over-fragmentation at cap scale happens on the two ~176k-point
+    # floor/ceiling planes; score adjacent-cluster unions with the
+    # flagship's completeness head and merge where the union wins
+    merge_line = None
+    if "complete_head" in params:
+        from learn_region_grow_tpu.engine.merge import merge_fragments
+        t0 = time.time()
+        cl, rep = merge_fragments(params, mcfg, rf,
+                                  res[0].cluster_label)
+        t_merge = time.time() - t0
+        mm, _ = room_metrics(rf.obj_id, cl)
+        merge_line = ("P=%d fused+merge room eq=%d raw=%d merge=%.2fs "
+                      "NMI=%.3f PRC=%.3f clusters=%d/%d "
+                      "(%d merges, %d pairs scored)" % (
+                          P, eq, raw, t_merge, mm.nmi, mm.prc,
+                          len(set(cl.tolist()) - {0}), n_inst,
+                          rep["merges"], rep["pairs_scored"]))
+        print(merge_line, flush=True)
     trained_on = (meta or {}).get("trained_on", "?")
     out = [
         "# fused kernel at the 524,288-point cap (v5e single chip, "
@@ -86,6 +105,7 @@ def main():
         "committed checkpoint:",
         "#   %s" % trained_on,
         line,
+    ] + ([merge_line] if merge_line else []) + [
         "# Round-2 capture of the same room/protocol (checkpoint trained "
         "only to 317k): NMI 0.693 PRC 0.568.",
         "# The room is ~90% two 176k-point floor/ceiling planes — beyond "

@@ -72,31 +72,41 @@ def main():
     ]
     from learn_region_grow_tpu.ops.fused_grow import rooms_per_program_budget
     gb_max = rooms_per_program_budget(P, 13)
+    gb_hbm = rooms_per_program_budget(P, 13, hbm_features=True)
     lines.append(f"# single-program VMEM budget caps rooms/program at "
-                 f"{gb_max} for this P; larger G would split into several "
+                 f"{gb_max} for this P (hbm-features packing: {gb_hbm}); "
+                 f"larger G would split into several "
                  f"programs (no further amortization to measure)")
     base = None
     for g in (1, 2, 4, 8):
-        if g > gb_max:
-            break
-        feats = [rf] * g
-        run = lambda: segment_rooms_fused(params, mcfg, feats, gcfg,
-                                          min_bucket_size=P,
-                                          max_instances=512)
-        res = run()                                  # compile
-        steps = sum(i["steps"] for i in res[0].instances)
-        t = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            run()
-            t = min(t, time.time() - t0)
-        per_room = t / g
-        if base is None:
-            base = per_room
-        line = ("G=%d wall=%6.3fs s/room=%6.3f amort=%4.2fx "
-                "steps/room=%d" % (g, t, per_room, base / per_room, steps))
-        print(line, flush=True)
-        lines.append(line)
+        for tag, hbm in (("vmem", False), ("hbm ", True)):
+            if g > (gb_hbm if hbm else gb_max):
+                continue
+            if hbm and g <= gb_max and g < 4:
+                # the DMA variant only pays off where it raises
+                # rooms/program; small G under the VMEM budget was
+                # measured 0.90-1.10x (results/hbm_cap.txt parity row)
+                continue
+            feats = [rf] * g
+            run = lambda: segment_rooms_fused(params, mcfg, feats, gcfg,
+                                              min_bucket_size=P,
+                                              max_instances=512,
+                                              hbm_features=hbm)
+            res = run()                              # compile
+            steps = sum(i["steps"] for i in res[0].instances)
+            t = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                run()
+                t = min(t, time.time() - t0)
+            per_room = t / g
+            if base is None:
+                base = per_room
+            line = ("G=%d %s wall=%6.3fs s/room=%6.3f amort=%4.2fx "
+                    "steps/room=%d" % (g, tag, t, per_room,
+                                       base / per_room, steps))
+            print(line, flush=True)
+            lines.append(line)
     # append: the record accumulates one section per bucket size P
     with open(os.path.join(RESULTS, "multiroom_sweep.txt"), "a") as f:
         f.write("\n".join(lines) + "\n")

@@ -97,17 +97,33 @@ def main():
         max_instances=1024))
     m, _ = room_metrics(rf.obj_id, res[0].cluster_label)
     n_inst = len(set(rf.obj_id.tolist()))
-    line = ("P=%d hbm room eq=%d raw=%d grow=%.2fs pps=%.0f NMI=%.3f "
-            "PRC=%.3f clusters=%d/%d" % (
-                P_CAP, eq, raw, t_grow, raw / t_grow, m.nmi, m.prc,
+    line = ("P=%d hbm room eq=%d raw=%d prep=%.2fs grow=%.2fs "
+            "pps=%.0f pipeline_pps=%.0f NMI=%.3f PRC=%.3f "
+            "clusters=%d/%d" % (
+                P_CAP, eq, raw, t_prep, t_grow, raw / t_grow,
+                raw / (t_prep + t_grow), m.nmi, m.prc,
                 res[0].num_clusters, n_inst))
     print(line, flush=True)
+    # round-5 verdict ask #8: prep at cap scale, on the record — host SVD
+    # prep vs the on-device kernel at the 1M bucket
+    from learn_region_grow_tpu.core.device_features import \
+        prepare_room_device
+    t_dev = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        prepare_room_device(room[:, :6], room[:, 6], room[:, 7],
+                            resolution=0.1)
+        t_dev = min(t_dev, time.time() - t0)
+    prep_line = ("P=%d prepcmp host=%.2fs device=%.2fs -> %s" % (
+        P_CAP, t_prep, t_dev, "device" if t_dev < t_prep else "host"))
+    print(prep_line, flush=True)
     lines += [
         line,
+        prep_line,
         "# 2x the VMEM kernel's 524,288-point cap "
-        "(results/fused_cap.txt); the training mix tops out at ~500k-point",
-        "# rooms, so NMI at this scale reads through that gap — "
-        "results/scale_ceiling.txt establishes the mechanics ceiling.",
+        "(results/fused_cap.txt); round-5 checkpoint adds 608k-928k-eq",
+        "# rooms (run_pretrain.py AREA8_TARGETS) to close the "
+        "training-mix gap this record read through in rounds 3-4.",
     ]
     with open(os.path.join(RESULTS, "hbm_cap.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -90,7 +90,12 @@ def main():
                      "synthetic_pretrained.npz"))
     mcfg = lrgnet.LrgNetConfig(feature_size=13)
     lines = ["# scale curve: padded bucket P, engine, rooms, equalized pts,"
-             " raw pts, grow secs, pts/sec, NMI, device MB"]
+             " raw pts, prep secs, grow secs, pipeline pts/sec, NMI,"
+             " device MB",
+             "# pps = raw / (prep + grow): the PIPELINE rate (round-5 "
+             "verdict ask #8); prepcmp rows",
+             "# compare host SVD prep vs the on-device kernel "
+             "(core/device_features.py) at each bucket"]
     configs = [(16384, 2), (32768, 2), (65536, 2), (131072, 1),
                (262144, 1), (524288, 1), (1048576, 1)]
     if quick:
@@ -147,10 +152,31 @@ def main():
                     for f, r in zip(feats, res)]
             mem = device_mem_mb()
             pps = raw / (t_feat + t_grow)
-            line = ("P=%6d %-5s rooms=%d eq=%7d raw=%8d grow=%7.2fs "
-                    "pps=%8.0f NMI=%.3f mem=%.0fMB" % (
-                        target_p, name, n_rooms, eq, raw, t_grow, pps,
-                        np.mean(nmis), mem))
+            line = ("P=%6d %-5s rooms=%d eq=%7d raw=%8d prep=%6.2fs "
+                    "grow=%7.2fs pps=%8.0f NMI=%.3f mem=%.0fMB" % (
+                        target_p, name, n_rooms, eq, raw, t_feat, t_grow,
+                        pps, np.mean(nmis), mem))
+            print(line, flush=True)
+            lines.append(line)
+
+        # host vs device prep at this bucket (round-5 verdict ask #8: the
+        # on-record decision for --device-prep at scale). device prep is
+        # timed end-to-end from raw host arrays (device_put + kernel +
+        # fetch of the RoomFeatures arrays) — the deployment-relevant
+        # number; min-of-2 because the first call pays bucket compilation.
+        if jax.default_backend() == "tpu":
+            from learn_region_grow_tpu.core.device_features import \
+                prepare_room_device
+            t_dev = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                for room in rooms:
+                    prepare_room_device(room[:, :6], room[:, 6],
+                                        room[:, 7], resolution=0.1)
+                t_dev = min(t_dev, time.time() - t0)
+            line = ("P=%6d prepcmp host=%6.2fs device=%6.2fs -> %s" % (
+                target_p, t_feat, t_dev,
+                "device" if t_dev < t_feat else "host"))
             print(line, flush=True)
             lines.append(line)
     with open(os.path.join(RESULTS, "scale_curve.txt"), "w") as f:
