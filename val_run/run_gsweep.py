@@ -78,7 +78,9 @@ def main():
                  f"larger G would split into several "
                  f"programs (no further amortization to measure)")
     base = None
-    for g in (1, 2, 4, 8):
+    # 1/2/4/8 plus each packing's own budget cap, so the hbm packing's
+    # actual max rooms/program (the auto-pick's win condition) is measured
+    for g in sorted({1, 2, 4, 8, gb_max, gb_hbm}):
         for tag, hbm in (("vmem", False), ("hbm ", True)):
             if g > (gb_hbm if hbm else gb_max):
                 continue
