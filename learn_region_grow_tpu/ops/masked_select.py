@@ -185,6 +185,10 @@ def masked_sample_stratified(mask: jnp.ndarray, seeds: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, 8, k), jnp.int32),
+        # see masked_sample_stratified_one: the scan's scoped temporaries
+        # exceed the 16 MB default at ~1M-point rooms
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(packed, u)
     return out[:, 0, :]
 
@@ -212,6 +216,12 @@ def masked_sample_stratified_one(mask: jnp.ndarray, u: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 8, k), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 8, k), jnp.int32),
+        # the rank scan's stack temporaries scale with P8: the default
+        # 16 MB scoped-vmem limit OOMs at P = 2^20 (25.2 MB requested —
+        # hit by area-8 staging, round 5); the mask block itself is only
+        # 4 MB there, so 64 MB leaves ample headroom on a 128 MB part
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(packed, u.reshape(1, 1, k))
     return out[0, 0, :]
