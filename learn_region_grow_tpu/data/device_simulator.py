@@ -337,11 +337,18 @@ def simulate_rooms_device(feats: Sequence[RoomFeatures],
 
     results: List[Optional[dict]] = [None] * n_rooms
     for psize, ids in sorted(buckets.items()):
+        # the stratified Pallas sampler crashed the remote worker at the
+        # 2^20 bucket (round 5: compile-time scoped-vmem OOM, then a
+        # runtime kernel fault after raising the limit); above the fused
+        # kernel's VMEM regime fall back to the exact top-k XLA sampler —
+        # the HOST simulator's semantics, so area-8-scale staging is the
+        # more reference-faithful path anyway
         sim = make_room_simulator(psize, samples_cap, instances_cap,
                                   max_points=max_points,
                                   cluster_threshold=cluster_threshold,
                                   max_steps=max_steps,
-                                  stratified=stratified)
+                                  stratified=stratified
+                                  and psize <= 2 ** 19)
         # Bound the padded points per device program: vmapped lanes multiply
         # per-iteration work, and a single execute running ~10 min crashes
         # the remote TPU worker (observed at 3 lanes x 262144;
