@@ -233,9 +233,9 @@ def make_room_simulator(p: int, samples_cap: int, instances_cap: int,
             inst_target=wi(st.inst_target, st.target),
         )
 
-    def run(voxels, obj, valid, seed_order, mistake_probs, key):
+    def init_state(key):
         z = jnp.zeros
-        st = SimState(
+        return SimState(
             rng=key,
             visited=z(p, bool),
             active=jnp.zeros((), bool),
@@ -254,18 +254,7 @@ def make_room_simulator(p: int, samples_cap: int, instances_cap: int,
             inst_steps=z(I, jnp.int32), inst_target=z(I, jnp.int32),
         )
 
-        def cond(s: SimState):
-            return s.active | (s.sptr < p)
-
-        def body(s: SimState):
-            return jax.lax.cond(
-                s.active,
-                lambda t: grow_step(voxels, obj, valid, t),
-                lambda t: start_instance(voxels, obj, valid, seed_order,
-                                         mistake_probs, t),
-                s)
-
-        out = jax.lax.while_loop(cond, body, st)
+    def extract(out: SimState) -> dict:
         return {
             "inl_idx": out.inl_idx, "inl_cnt": out.inl_cnt,
             "nb_idx": out.nb_idx, "nb_cnt": out.nb_cnt,
@@ -275,6 +264,50 @@ def make_room_simulator(p: int, samples_cap: int, instances_cap: int,
             "dropped": out.dropped,
         }
 
+    def _body(voxels, obj, valid, seed_order, mistake_probs):
+        def body(s: SimState):
+            return jax.lax.cond(
+                s.active,
+                lambda t: grow_step(voxels, obj, valid, t),
+                lambda t: start_instance(voxels, obj, valid, seed_order,
+                                         mistake_probs, t),
+                s)
+        return body
+
+    def run(voxels, obj, valid, seed_order, mistake_probs, key):
+        def cond(s: SimState):
+            return s.active | (s.sptr < p)
+
+        out = jax.lax.while_loop(
+            cond, _body(voxels, obj, valid, seed_order, mistake_probs),
+            init_state(key))
+        return extract(out)
+
+    def run_chunk(voxels, obj, valid, seed_order, mistake_probs, st,
+                  chunk_iters):
+        """Advance the simulation AT MOST ``chunk_iters`` iterations and
+        return the updated state: the RE-ENTRANT runner for rooms whose
+        full simulation outlives the remote worker's per-execute watchdog
+        (round 5: a 630k-eq-point room's single execute was killed at
+        ~282 s). Identical per-iteration semantics to ``run`` — the full
+        loop is just split across executes, with state device-resident
+        between them."""
+        body = _body(voxels, obj, valid, seed_order, mistake_probs)
+
+        def cond(cs):
+            c, s = cs
+            return (c < chunk_iters) & (s.active | (s.sptr < p))
+
+        def cbody(cs):
+            c, s = cs
+            return c + 1, body(s)
+
+        _, out = jax.lax.while_loop(cond, cbody, (jnp.int32(0), st))
+        return out
+
+    run.init_state = init_state
+    run.run_chunk = run_chunk
+    run.extract = extract
     return run
 
 
@@ -288,6 +321,33 @@ def _bucket(n: int, minimum: int = 1024) -> int:
 @partial(jax.jit, static_argnums=(0,))
 def _run_batch(sim, voxels, obj, valid, seed_order, probs, keys):
     return jax.vmap(sim)(voxels, obj, valid, seed_order, probs, keys)
+
+
+@lru_cache(maxsize=8)
+def _chunked_fns(sim, chunk_iters: int):
+    init = jax.jit(jax.vmap(sim.init_state))
+    step = jax.jit(jax.vmap(
+        lambda v, o, va, so, pr, st: sim.run_chunk(v, o, va, so, pr, st,
+                                                   chunk_iters)))
+    extract = jax.jit(jax.vmap(sim.extract))
+    return init, step, extract
+
+
+def _run_chunked(sim, voxels, obj, valid, seed_order, probs, keys, p,
+                 chunk_iters: int = 512):
+    """Drive the re-entrant simulator: bounded-iteration executes with
+    device-resident state between them (the remote worker kills single
+    executes after ~282 s at the 2^20 bucket — round 5). Bit-identical to
+    ``_run_batch``: the same iteration function, split across executes."""
+    init, step, extract = _chunked_fns(sim, chunk_iters)
+    dev = [jax.device_put(a) for a in (voxels, obj, valid, seed_order,
+                                       probs)]
+    st = init(keys)
+    while True:
+        st = step(*dev, st)
+        act, sptr = jax.device_get((st.active, st.sptr))
+        if not np.any(act | (sptr < p)):
+            return extract(st)
 
 
 def simulate_rooms_device(feats: Sequence[RoomFeatures],
@@ -370,10 +430,16 @@ def simulate_rooms_device(feats: Sequence[RoomFeatures],
                 valid[j, :n] = True
                 # pad the permutation with an arbitrary valid=False slot
                 order[j, :n] = seed_orders[i]
-            out = _run_batch(sim, jnp.asarray(voxels), jnp.asarray(obj),
-                             jnp.asarray(valid), jnp.asarray(order),
-                             jnp.tile(jnp.asarray(probs), (g, 1)),
-                             jnp.stack([keys[i] for i in grp]))
+            run_args = (jnp.asarray(voxels), jnp.asarray(obj),
+                        jnp.asarray(valid), jnp.asarray(order),
+                        jnp.tile(jnp.asarray(probs), (g, 1)),
+                        jnp.stack([keys[i] for i in grp]))
+            if psize > 2 ** 19:
+                # single-execute simulation of a 2^20-bucket room outlives
+                # the remote worker's watchdog; run it re-entrantly
+                out = _run_chunked(sim, *run_args, psize)
+            else:
+                out = _run_batch(sim, *run_args)
             # Slim the D2H transfer: the (S, M) index slabs are padded far
             # past what any room used (hundreds of MB over the tunnel).
             # Fetch the tiny counts first, slice the big buffers to the used

@@ -161,3 +161,41 @@ def test_stage_data_cli_device_flag(small_rooms, tmp_path):
     # distribution-equivalent PRNG: sample counts in the same ballpark
     assert abs(dev.num_samples() - host.num_samples()) \
         <= 0.25 * host.num_samples()
+
+
+def test_chunked_runner_bit_identical(small_rooms):
+    """The re-entrant bounded-iteration runner (``_run_chunked`` — the
+    2^20-bucket path where one execute outlives the remote worker's
+    watchdog) is BIT-IDENTICAL to the single-execute ``_run_batch``: the
+    same iteration function, merely split across executes with
+    device-resident state."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_region_grow_tpu.core import prepare_room
+    from learn_region_grow_tpu.data.device_simulator import (
+        _bucket, _run_batch, _run_chunked, make_room_simulator)
+
+    rooms, objs, clss = small_rooms
+    rf = prepare_room(rooms[0][:, :6], objs[0], clss[0], resolution=0.1)
+    p = _bucket(len(rf.points))
+    sim = make_room_simulator(p, 256, 64, stratified=False)
+    vox = np.full((1, p, 3), 2 ** 30, np.int32)
+    obj = np.full((1, p), -1, np.int32)
+    valid = np.zeros((1, p), bool)
+    order = np.full((1, p), p - 1, np.int32)
+    n = len(rf.points)
+    vox[0, :n] = rf.voxels
+    obj[0, :n] = rf.obj_id
+    valid[0, :n] = True
+    rng = np.random.RandomState(3)
+    order[0, :n] = rng.choice(n, n, replace=False).astype(np.int32)
+    args = (jnp.asarray(vox), jnp.asarray(obj), jnp.asarray(valid),
+            jnp.asarray(order), jnp.full((1, 2), -1.0, jnp.float32),
+            jnp.stack([jax.random.PRNGKey(11)]))
+    full = jax.device_get(_run_batch(sim, *args))
+    # tiny chunks force MANY re-entries (state crosses executes a lot)
+    chunked = jax.device_get(_run_chunked(sim, *args, p, chunk_iters=7))
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(chunked[k]), err_msg=k)
