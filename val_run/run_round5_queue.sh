@@ -22,14 +22,17 @@ echo "checkpoint refreshed ${AGE}s ago — running the record queue"
 
 run() { echo "=== $* ==="; timeout 7200 "$@"; echo "=== exit $? ==="; }
 
+# ordered cheapest/most-critical first: if the session is cut mid-queue,
+# the records that back the round-5 verdict claims (cap quality, local
+# search A/B, outdoor set) land before the long sweeps
 run python bench.py
-run python val_run/run_phase_breakdown.py
 run python val_run/run_cap.py
 run python val_run/run_hbm_cap.py
-run python val_run/run_scale.py
-run python val_run/run_gsweep.py 131072
-run python val_run/run_gsweep.py 262144
 run python val_run/run_localsearch_ab.py
 run python val_run/run_outdoor.py all
+run python val_run/run_gsweep.py 131072
+run python val_run/run_gsweep.py 262144
+run python val_run/run_scale.py
+run python val_run/run_phase_breakdown.py
 run python val_run/run_crossdomain.py methods
 echo "QUEUE DONE after $(( $(date +%s) - START ))s"
